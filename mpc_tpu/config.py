@@ -1,0 +1,60 @@
+"""Typed configuration for the whole framework.
+
+The reference hardcodes every constant at call sites (solver params:
+controller.py:27-48; model params: main.py:83-111; horizon/loop sizes:
+main.py:65-70). Here a single set of frozen dataclasses carries them;
+defaults equal the reference's literals for behavioral parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PanocConfig:
+    """Inner PANOC(+L-BFGS) solver configuration.
+
+    Defaults mirror alpaqa's ``StructuredPANOCLBFGSSolver`` setup at
+    controller.py:27-37: stop criterion = ProjGradNorm2, max 1000 iterations,
+    L-BFGS memory = N_horiz (set per-problem). Wall-clock caps (max_time
+    0.2 s, controller.py:30) have no place inside a compiled TPU loop; the
+    static iteration cap plays that role.
+    """
+    max_iter: int = 1000
+    lbfgs_memory: int = 12
+    alpha: float = 0.95              # gamma = alpha / L
+    tau_fallback: float = 0.0        # accepted step is best of {tau=1, tau=0}
+    gamma_min: float = 1e-12
+    max_gamma_backtracks: int = 60   # implicit via gamma_min; kept for clarity
+
+
+@dataclasses.dataclass(frozen=True)
+class AlmConfig:
+    """Outer augmented-Lagrangian loop configuration.
+
+    Defaults mirror controller.py:39-48: eps=1e-6 (inner stationarity),
+    delta=1e-4 (constraint satisfaction), Sigma_0=1e5 (initial penalty),
+    max 1000 outer iterations (we default far lower — ALM converges in a
+    handful of rounds and the cap is a static loop bound on TPU).
+    """
+    eps: float = 1e-6                # final inner tolerance (stationarity)
+    delta: float = 1e-4              # constraint violation tolerance
+    sigma_0: float = 1e5             # initial penalty
+    max_iter: int = 20
+    eps_0: float = 1e-1              # initial inner tolerance
+    rho_eps: float = 1e-1            # inner tolerance shrink factor per outer iter
+    penalty_factor: float = 10.0     # Sigma multiplier on insufficient progress
+    theta: float = 0.25              # required violation decrease factor
+    sigma_max: float = 1e9
+    lam_max: float = 1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class MpcConfig:
+    """Vehicle MPC configuration (reference: main.py:65-70,112)."""
+    n_horiz: int = 12
+    ts: float = 0.05
+    v_ref: float = 1.0
+    centerline_size: int = 100
+    n_sim: int = 400

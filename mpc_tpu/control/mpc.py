@@ -1,0 +1,154 @@
+"""Warm-started MPC controllers.
+
+TPU-native equivalent of the reference's ``MPCController``
+(reference: controller.py:10-69) and the vehicle OCP assembly
+(reference: main.py:25-59). The controller is *functional*: its carried state
+(warm-start inputs U and multipliers lam, plus iteration/failure counters —
+controller.py:20-21,63-64) is an explicit pytree threaded through ``step``,
+so closed loops run under ``lax.scan``, batch under ``vmap``, and shard under
+``shard_map`` without mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu.config import AlmConfig, MpcConfig, PanocConfig
+from mpc_tpu.models.bicycle import pacejka_dynamics
+from mpc_tpu.models.integrators import discretize
+from mpc_tpu.models.params import VehicleParams
+from mpc_tpu.ops.costs import DEFAULT_VEHICLE_WEIGHTS, vehicle_stage_cost
+from mpc_tpu.solver.alm import AlmResult, make_alm_solver
+from mpc_tpu.solver.problem import Box, Problem, build_ocp_problem
+
+# Quadratic state-constraint offsets: y_i^2 - b_i per stage
+# (reference: main.py:43-52).
+STATE_CONSTRAINT_OFFSETS = (20.0, 1.0, 1.0, 2.0, 1.0, 0.1)
+
+
+class MpcCarry(NamedTuple):
+    """Warm-start carry across MPC steps (reference: controller.py:20-21,57)."""
+    U: jnp.ndarray          # (n_horiz * input_dim,) flat input sequence
+    lam: jnp.ndarray        # (m,) Lagrange multipliers
+    tot_it: jnp.ndarray     # accumulated inner iterations (controller.py:63)
+    failures: jnp.ndarray   # accumulated non-Converged solves (controller.py:64)
+
+
+class MpcStepOut(NamedTuple):
+    carry: MpcCarry
+    u0: jnp.ndarray         # first optimal input (applied to the plant)
+    result: AlmResult       # full solver stats for observability
+
+
+@dataclasses.dataclass(frozen=True)
+class MpcController:
+    """A built MPC controller: jit/vmap-able ``step`` + initial carry."""
+    problem: Problem
+    solve: Callable                    # (param, U0, lam0) -> AlmResult
+    n_horiz: int
+    input_dim: int
+    warm_start_input: tuple            # repeated per stage for the initial U
+
+    def init_carry(self, dtype=jnp.float32) -> MpcCarry:
+        U0 = jnp.tile(jnp.asarray(self.warm_start_input, dtype), self.n_horiz)
+        return MpcCarry(
+            U=U0,
+            lam=jnp.zeros((self.problem.m,), dtype),
+            tot_it=jnp.zeros((), jnp.int32),
+            failures=jnp.zeros((), jnp.int32),
+        )
+
+    def step(self, carry: MpcCarry, param: Any) -> MpcStepOut:
+        """One MPC solve with warm start (reference: controller.py:51-69).
+
+        ``param`` is the per-step parameter pytree (initial state ``y0``,
+        model params ``p``, road, ...). Returns the updated warm-start carry,
+        the first input of the optimal sequence (main.py:140-141), and stats.
+        """
+        res = self.solve(param, carry.U, carry.lam)
+        new_carry = MpcCarry(
+            U=res.u,
+            lam=res.lam,
+            tot_it=carry.tot_it + res.inner_iterations,
+            failures=carry.failures + (~res.converged).astype(jnp.int32),
+        )
+        u0 = res.u[: self.input_dim]
+        return MpcStepOut(new_carry, u0, res)
+
+
+def input_to_matrix(u_flat: jnp.ndarray, input_dim: int = 2) -> jnp.ndarray:
+    """Flat input vector -> (input_dim, N) matrix, stage-major.
+
+    The reference stores U stage-major (CasADi column-major F-order reshape,
+    car_dynamics.py:149-157): flat layout ``[d0, delta0, d1, delta1, ...]``.
+    """
+    return u_flat.reshape(-1, input_dim).T
+
+
+def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
+                      v_ref: float = 1.0, ts: float = 0.05,
+                      params: Optional[VehicleParams] = None,
+                      weights=DEFAULT_VEHICLE_WEIGHTS,
+                      bound_state_constraints: bool = False) -> Problem:
+    """Vehicle OCP matching reference main.py:25-59.
+
+    Decision variable: flat input sequence (2*N,). Parameters: pytree
+    ``{"y0": (6,), "p": VehicleParams, "centerline": (size, 2)}`` — the
+    structured analogue of the flat ``[y_init; centerline; params]`` vector
+    (main.py:27-30). Stage cost from car_dynamics.py:230-258; quadratic state
+    constraints from main.py:43-52. The reference leaves the D bounds
+    commented out (main.py:57) so they are built but unbounded by default;
+    ``bound_state_constraints=True`` activates ``g <= 0``.
+    """
+    if params is None:
+        params = VehicleParams()
+    f_d = discretize(pacejka_dynamics, ts=ts)
+
+    def stage_cost(x, u, param):
+        return vehicle_stage_cost(x, u, param["centerline"], v_ref, weights)
+
+    offs = jnp.asarray(STATE_CONSTRAINT_OFFSETS, jnp.float32)
+
+    def stage_constraints(x, u, param):
+        return x ** 2 - offs
+
+    C = Box(
+        lower=jnp.tile(jnp.asarray([-params.max_drive, -params.max_steer], jnp.float32), n_horiz),
+        upper=jnp.tile(jnp.asarray([params.max_drive, params.max_steer], jnp.float32), n_horiz),
+    )
+    m = 6 * n_horiz
+    if bound_state_constraints:
+        D = Box(jnp.full((m,), -jnp.inf), jnp.zeros((m,)))
+    else:
+        D = Box.unbounded(m)
+
+    return build_ocp_problem(
+        f_d, stage_cost, n_horiz, state_dim=6, input_dim=2, C=C,
+        stage_constraints=stage_constraints, n_stage_constraints=6, D=D)
+
+
+def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
+                             v_ref: float = 1.0, ts: float = 0.05,
+                             params: Optional[VehicleParams] = None,
+                             alm_cfg: Optional[AlmConfig] = None,
+                             panoc_cfg: Optional[PanocConfig] = None,
+                             bound_state_constraints: bool = False) -> MpcController:
+    """Vehicle MPC controller with the reference's solver configuration.
+
+    Warm start ``U = tile([1, 0], N)`` (controller.py:20); L-BFGS memory =
+    N_horiz (controller.py:36); eps/delta/Sigma_0 = 1e-6/1e-4/1e5
+    (controller.py:41-43).
+    """
+    problem = build_vehicle_ocp(n_horiz, centerline_size, v_ref, ts, params,
+                                bound_state_constraints=bound_state_constraints)
+    if alm_cfg is None:
+        alm_cfg = AlmConfig()
+    if panoc_cfg is None:
+        panoc_cfg = PanocConfig(lbfgs_memory=n_horiz)
+    solve = make_alm_solver(problem, alm_cfg, panoc_cfg)
+    return MpcController(problem=problem, solve=solve, n_horiz=n_horiz,
+                         input_dim=2, warm_start_input=(1.0, 0.0))

@@ -1,0 +1,51 @@
+"""Stage costs for the MPC optimal-control problems.
+
+TPU-native equivalent of the reference's symbolic cost generators
+(vehicle: car_dynamics.py:230-258; hanging chain: alpaqa_example.py:129-141).
+Pure functions over (state, input, parameters) — traced once inside the OCP
+objective, differentiated with ``jax.grad`` (replacing CasADi autodiff).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mpc_tpu.ops.road import compute_errors_ocp
+
+# Default weights c = [v, cte, pos_err, heading_err, steer, drive]
+# (reference: car_dynamics.py:230).
+DEFAULT_VEHICLE_WEIGHTS = (0.5, 1.0, 1.0, 0.5, 0.1, 0.01)
+
+
+def vehicle_stage_cost(x: jnp.ndarray, u: jnp.ndarray, centerline: jnp.ndarray,
+                       target_v: float,
+                       c=DEFAULT_VEHICLE_WEIGHTS) -> jnp.ndarray:
+    """Vehicle tracking stage cost (reference: car_dynamics.py:252-257):
+
+      L = c0 (|v| - v_ref)^2 + c1 cte^2 + c2 pos_err^2 + c3 head_err^2
+          + c4 delta^2 + c5 d^2
+    """
+    pos = x[:2]
+    err = compute_errors_ocp(pos, x[2], centerline)
+    speed = jnp.sqrt(x[3] ** 2 + x[4] ** 2)
+    return (c[0] * (speed - target_v) ** 2
+            + c[1] * err.cte ** 2
+            + c[2] * err.pos_error ** 2
+            + c[3] * err.heading_error ** 2
+            + c[4] * u[1] ** 2
+            + c[5] * u[0] ** 2)
+
+
+def chain_stage_cost(y: jnp.ndarray, u: jnp.ndarray, n_balls: int, dim: int,
+                     x_end: jnp.ndarray, alpha: float = 25.0, beta: float = 1.0,
+                     gamma: float = 0.01) -> jnp.ndarray:
+    """Hanging-chain stage cost (reference: alpaqa_example.py:129-141):
+
+      L = alpha ||y3 - x_end||^2 + beta sum_i ||vel_i||^2 + gamma ||u||^2
+    """
+    nd = n_balls * dim
+    y2 = y[nd: 2 * nd]
+    y3 = y[2 * nd:]
+    return (alpha * jnp.sum((y3 - x_end) ** 2)
+            + beta * jnp.sum(y2 ** 2)
+            + gamma * jnp.sum(u ** 2))

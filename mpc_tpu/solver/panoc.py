@@ -1,0 +1,225 @@
+"""PANOC inner solver with L-BFGS acceleration — pure JAX, batched, TPU-native.
+
+Replaces alpaqa's C++ ``StructuredPANOCLBFGSSolver``
+(reference: controller.py:27-37): projected-gradient (forward-backward) steps
+on the box C, accelerated by an L-BFGS model of the fixed-point residual,
+with the ``ProjGradNorm2`` stopping criterion ``||u - Pi_C(u - g*grad)|| / g``
+and an L-BFGS memory of ``N_horiz`` (controller.py:36).
+
+TPU-first design decisions (vs a line-by-line translation of the C++):
+- Fixed shapes everywhere: the L-BFGS history is a static ring buffer with
+  validity masks; iteration runs in a ``lax.while_loop`` with a static cap,
+  so the whole solver jits, vmaps over scenario batches, and shards over a
+  device mesh.
+- The sequential line search is replaced by *parallel candidate evaluation*:
+  each iteration evaluates the L-BFGS candidate ``u + d`` and the safe
+  forward-backward fallback ``u_hat`` in one batched value_and_grad call and
+  keeps the lower forward-backward-envelope (FBE) value. Since
+  ``FBE(u_hat) <= FBE(u) - sigma*||r||^2`` whenever the quadratic upper bound
+  holds, global convergence is inherited while the accelerated step is taken
+  whenever it helps — no data-dependent inner loop.
+- Step-size (Lipschitz) backtracking is folded into the main loop: an
+  iteration either halves ``gamma`` (flushing the L-BFGS history, as alpaqa
+  does on step-size changes) or takes a step. Wall-clock caps
+  (controller.py:30) are replaced by the static iteration cap.
+- Per-scenario convergence is a mask — one diverging scenario cannot stall a
+  batch (each lane freezes once converged).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu.config import PanocConfig
+from mpc_tpu.solver.problem import Box, project
+
+
+# ---------------------------------------------------------------------------
+# L-BFGS ring buffer (static memory, masked validity)
+# ---------------------------------------------------------------------------
+
+class LbfgsState(NamedTuple):
+    S: jnp.ndarray       # (M, n) steps s_k
+    Y: jnp.ndarray       # (M, n) residual differences y_k
+    rho: jnp.ndarray     # (M,)   1 / (s_k . y_k)
+    valid: jnp.ndarray   # (M,)   bool
+    head: jnp.ndarray    # ()     next write slot
+
+
+def lbfgs_init(memory: int, n: int, dtype=jnp.float32) -> LbfgsState:
+    return LbfgsState(
+        S=jnp.zeros((memory, n), dtype),
+        Y=jnp.zeros((memory, n), dtype),
+        rho=jnp.zeros((memory,), dtype),
+        valid=jnp.zeros((memory,), bool),
+        head=jnp.zeros((), jnp.int32),
+    )
+
+
+def lbfgs_flush(st: LbfgsState) -> LbfgsState:
+    return st._replace(valid=jnp.zeros_like(st.valid), head=jnp.zeros_like(st.head))
+
+
+def lbfgs_push(st: LbfgsState, s: jnp.ndarray, y: jnp.ndarray) -> LbfgsState:
+    """Insert a curvature pair; skipped when s.y fails the curvature condition."""
+    sy = jnp.dot(s, y)
+    good = sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y)
+    safe_sy = jnp.where(good, sy, 1.0)
+    S = jnp.where(good, st.S.at[st.head].set(s), st.S)
+    Y = jnp.where(good, st.Y.at[st.head].set(y), st.Y)
+    rho = jnp.where(good, st.rho.at[st.head].set(1.0 / safe_sy), st.rho)
+    valid = jnp.where(good, st.valid.at[st.head].set(True), st.valid)
+    head = jnp.where(good, (st.head + 1) % st.S.shape[0], st.head)
+    return LbfgsState(S, Y, rho, valid, head)
+
+
+def lbfgs_direction(st: LbfgsState, q: jnp.ndarray) -> jnp.ndarray:
+    """Two-loop recursion: returns d = -H q (statically unrolled over memory)."""
+    M = st.S.shape[0]
+    alphas = []
+    for j in range(M):                       # newest -> oldest
+        i = (st.head - 1 - j) % M
+        m = st.valid[i]
+        a = jnp.where(m, st.rho[i] * jnp.dot(st.S[i], q), 0.0)
+        q = q - a * jnp.where(m, 1.0, 0.0) * st.Y[i]
+        alphas.append((i, m, a))
+
+    # Initial Hessian scaling from the newest valid pair.
+    i0 = (st.head - 1) % M
+    yy = jnp.dot(st.Y[i0], st.Y[i0])
+    sy = jnp.dot(st.S[i0], st.Y[i0])
+    h0 = jnp.where(st.valid[i0] & (yy > 0), sy / jnp.maximum(yy, 1e-30), 1.0)
+    q = q * h0
+
+    for i, m, a in reversed(alphas):         # oldest -> newest
+        b = jnp.where(m, st.rho[i] * jnp.dot(st.Y[i], q), 0.0)
+        q = q + (a - b) * jnp.where(m, 1.0, 0.0) * st.S[i]
+    return -q
+
+
+# ---------------------------------------------------------------------------
+# PANOC
+# ---------------------------------------------------------------------------
+
+class PanocResult(NamedTuple):
+    u: jnp.ndarray
+    psi: jnp.ndarray
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+    criterion: jnp.ndarray   # final ||r||/gamma (ProjGradNorm2)
+
+
+class _State(NamedTuple):
+    u: jnp.ndarray
+    psi: jnp.ndarray
+    grad: jnp.ndarray
+    gamma: jnp.ndarray
+    lbfgs: LbfgsState
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+    criterion: jnp.ndarray
+
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(jnp.reshape(pred, (1,) * x.ndim), x, y), a, b)
+
+
+def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
+                      C: Box, cfg: PanocConfig) -> Callable:
+    """Build ``solve(u0, tol, args) -> PanocResult``.
+
+    ``psi_vg(u, args) -> (psi, grad)`` is the value-and-gradient of the smooth
+    objective (plain cost, or the augmented Lagrangian when called from ALM).
+    The returned ``solve`` is jit-able and vmap-able over ``(u0, args)``.
+    """
+    cand_vg = jax.vmap(psi_vg, in_axes=(0, None))
+
+    def fbe(u_c, psi_c, grad_c, gamma):
+        """Forward-backward envelope phi_gamma at a point."""
+        uh = project(u_c - gamma * grad_c, C)
+        diff = uh - u_c
+        return psi_c + jnp.dot(grad_c, diff) + jnp.dot(diff, diff) / (2.0 * gamma)
+
+    def solve(u0: jnp.ndarray, tol, args) -> PanocResult:
+        dtype = u0.dtype
+        u0 = project(u0, C)
+        psi0, g0 = psi_vg(u0, args)
+
+        # Initial step size from a finite-difference Lipschitz estimate
+        # (stand-in for alpaqa's hessian_step_size_heuristic, controller.py:33).
+        h = 1e-4 * (1.0 + jnp.abs(u0))
+        _, g_h = psi_vg(u0 + h, args)
+        L0 = jnp.linalg.norm(g_h - g0) / jnp.maximum(jnp.linalg.norm(h), 1e-30)
+        L0 = jnp.clip(L0, 1e-8, 1e15)
+        gamma0 = jnp.asarray(cfg.alpha, dtype) / L0
+
+        st0 = _State(
+            u=u0, psi=psi0, grad=g0, gamma=gamma0,
+            lbfgs=lbfgs_init(cfg.lbfgs_memory, u0.shape[0], dtype),
+            iters=jnp.zeros((), jnp.int32),
+            converged=jnp.zeros((), bool),
+            criterion=jnp.full((), jnp.inf, dtype),
+        )
+
+        def cond(st: _State):
+            return (~st.converged) & (st.iters < cfg.max_iter)
+
+        def body(st: _State) -> _State:
+            u, psi_u, g_u, gamma = st.u, st.psi, st.grad, st.gamma
+
+            u_hat = project(u - gamma * g_u, C)
+            r = u - u_hat
+            rn2 = jnp.dot(r, r)
+            crit = jnp.sqrt(rn2) / gamma
+            conv_now = crit <= tol
+
+            # Accelerated candidate from L-BFGS on the fixed-point residual.
+            d = lbfgs_direction(st.lbfgs, r)
+            cands = jnp.stack([u_hat, u + d])
+            psis, grads = cand_vg(cands, args)
+            psi_hat = psis[0]
+
+            # Quadratic upper bound at gamma: psi(u_hat) <= psi(u) - g.r + ||r||^2/(2g)
+            margin = 1e-6 * jnp.abs(psi_u) + 1e-12
+            qub_rhs = psi_u - jnp.dot(g_u, r) + rn2 / (2.0 * gamma) + margin
+            gamma_ok = (psi_hat <= qub_rhs) | (gamma <= cfg.gamma_min)
+
+            # --- branch A: halve gamma, flush history, stay put -------------
+            st_shrink = st._replace(gamma=gamma * 0.5, lbfgs=lbfgs_flush(st.lbfgs))
+
+            # --- branch B: take the best candidate by FBE -------------------
+            phis = jax.vmap(fbe, in_axes=(0, 0, 0, None))(cands, psis, grads, gamma)
+            phis = jnp.where(jnp.isnan(phis), jnp.inf, phis)
+            best = jnp.argmin(phis)
+            u_n, psi_n, g_n = cands[best], psis[best], grads[best]
+
+            r_n = u_n - project(u_n - gamma * g_n, C)
+            lb_n = lbfgs_push(st.lbfgs, u_n - u, r_n - r)
+            st_step = st._replace(u=u_n, psi=psi_n, grad=g_n, lbfgs=lb_n)
+
+            st_new = _tree_where(gamma_ok, st_step, st_shrink)
+            st_new = st_new._replace(
+                iters=st.iters + 1,
+                criterion=jnp.minimum(st.criterion, crit),
+            )
+            # Freeze the lane once converged (batch-safe under vmap).
+            st_done = st._replace(converged=jnp.ones((), bool), criterion=crit)
+            return _tree_where(conv_now, st_done, st_new)
+
+        st = jax.lax.while_loop(cond, body, st0)
+
+        # Final criterion refresh (covers the max_iter exit path).
+        u_hat = project(st.u - st.gamma * st.grad, C)
+        crit = jnp.linalg.norm(st.u - u_hat) / st.gamma
+        return PanocResult(
+            u=st.u, psi=st.psi,
+            converged=st.converged | (crit <= tol),
+            iterations=st.iters,
+            criterion=crit,
+        )
+
+    return solve
