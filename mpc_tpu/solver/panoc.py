@@ -121,6 +121,7 @@ class _State(NamedTuple):
     iters: jnp.ndarray
     converged: jnp.ndarray
     criterion: jnp.ndarray
+    stalled: jnp.ndarray     # consecutive iterations with zero movement
 
 
 def _tree_where(pred, a, b):
@@ -163,10 +164,14 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
             iters=jnp.zeros((), jnp.int32),
             converged=jnp.zeros((), bool),
             criterion=jnp.full((), jnp.inf, dtype),
+            stalled=jnp.zeros((), jnp.int32),
         )
 
         def cond(st: _State):
-            return (~st.converged) & (st.iters < cfg.max_iter)
+            # A lane exits when converged, out of budget, or numerically
+            # stalled (iterates stopped moving at the float32 floor — no
+            # further progress is representable).
+            return (~st.converged) & (st.iters < cfg.max_iter) & (st.stalled < 3)
 
         def body(st: _State) -> _State:
             u, psi_u, g_u, gamma = st.u, st.psi, st.grad, st.gamma
@@ -183,8 +188,13 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
             psis, grads = cand_vg(cands, args)
             psi_hat = psis[0]
 
-            # Quadratic upper bound at gamma: psi(u_hat) <= psi(u) - g.r + ||r||^2/(2g)
-            margin = 1e-6 * jnp.abs(psi_u) + 1e-12
+            # Quadratic upper bound at gamma: psi(u_hat) <= psi(u) - g.r + ||r||^2/(2g).
+            # The comparison differences two nearly equal float32 values, so
+            # allow ~10x the f32 rounding floor of the operands — otherwise
+            # pure noise triggers spurious gamma halving that flushes the
+            # L-BFGS history and stalls the solver.
+            eps_f = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+            margin = 10.0 * eps_f * (jnp.abs(psi_u) + jnp.abs(psi_hat)) + 1e-12
             qub_rhs = psi_u - jnp.dot(g_u, r) + rn2 / (2.0 * gamma) + margin
             gamma_ok = (psi_hat <= qub_rhs) | (gamma <= cfg.gamma_min)
 
@@ -199,7 +209,10 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
 
             r_n = u_n - project(u_n - gamma * g_n, C)
             lb_n = lbfgs_push(st.lbfgs, u_n - u, r_n - r)
-            st_step = st._replace(u=u_n, psi=psi_n, grad=g_n, lbfgs=lb_n)
+            moved = jnp.any(u_n != u)
+            st_step = st._replace(
+                u=u_n, psi=psi_n, grad=g_n, lbfgs=lb_n,
+                stalled=jnp.where(moved, 0, st.stalled + 1))
 
             st_new = _tree_where(gamma_ok, st_step, st_shrink)
             st_new = st_new._replace(
