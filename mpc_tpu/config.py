@@ -24,7 +24,12 @@ class PanocConfig:
     max_iter: int = 1000
     lbfgs_memory: int = 12
     alpha: float = 0.95              # gamma = alpha / L
-    tau_fallback: float = 0.0        # accepted step is best of {tau=1, tau=0}
+    # Line-search grid over the homotopy x(tau) = u - (1-tau) r + tau d.
+    # All grid points are evaluated in ONE batched value_and_grad call (data
+    # parallel on the VPU) instead of alpaqa's sequential halving loop; the
+    # forward-backward fallback (tau=0) is always included, preserving the
+    # global convergence guarantee.
+    taus: tuple = (1.0, 0.25, 1.0 / 16.0, 1.0 / 64.0)
     gamma_min: float = 1e-12
     max_gamma_backtracks: int = 60   # implicit via gamma_min; kept for clarity
 

@@ -93,7 +93,8 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
                       v_ref: float = 1.0, ts: float = 0.05,
                       params: Optional[VehicleParams] = None,
                       weights=DEFAULT_VEHICLE_WEIGHTS,
-                      bound_state_constraints: bool = False) -> Problem:
+                      bound_state_constraints: bool = False,
+                      errors_fn=None) -> Problem:
     """Vehicle OCP matching reference main.py:25-59.
 
     Decision variable: flat input sequence (2*N,). Parameters: pytree
@@ -108,8 +109,13 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
         params = VehicleParams()
     f_d = discretize(pacejka_dynamics, ts=ts)
 
-    def stage_cost(x, u, param):
-        return vehicle_stage_cost(x, u, param["centerline"], v_ref, weights)
+    if errors_fn is None:
+        def stage_cost(x, u, param):
+            return vehicle_stage_cost(x, u, param["centerline"], v_ref, weights)
+    else:
+        def stage_cost(x, u, param):
+            return vehicle_stage_cost(x, u, param["centerline"], v_ref, weights,
+                                      errors_fn=errors_fn)
 
     offs = jnp.asarray(STATE_CONSTRAINT_OFFSETS, jnp.float32)
 

@@ -19,14 +19,19 @@ DEFAULT_VEHICLE_WEIGHTS = (0.5, 1.0, 1.0, 0.5, 0.1, 0.01)
 
 def vehicle_stage_cost(x: jnp.ndarray, u: jnp.ndarray, centerline: jnp.ndarray,
                        target_v: float,
-                       c=DEFAULT_VEHICLE_WEIGHTS) -> jnp.ndarray:
+                       c=DEFAULT_VEHICLE_WEIGHTS,
+                       errors_fn=compute_errors_ocp) -> jnp.ndarray:
     """Vehicle tracking stage cost (reference: car_dynamics.py:252-257):
 
       L = c0 (|v| - v_ref)^2 + c1 cte^2 + c2 pos_err^2 + c3 head_err^2
           + c4 delta^2 + c5 d^2
+
+    ``errors_fn(pos, heading, centerline)`` defaults to the single-device
+    road errors; pass the sequence-parallel variant
+    (parallel.road_sp.make_sp_errors_fn) when the centerline is sharded.
     """
     pos = x[:2]
-    err = compute_errors_ocp(pos, x[2], centerline)
+    err = errors_fn(pos, x[2], centerline)
     speed = jnp.sqrt(x[3] ** 2 + x[4] ** 2)
     return (c[0] * (speed - target_v) ** 2
             + c[1] * err.cte ** 2

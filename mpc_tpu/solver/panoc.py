@@ -176,15 +176,27 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
         def body(st: _State) -> _State:
             u, psi_u, g_u, gamma = st.u, st.psi, st.grad, st.gamma
 
-            u_hat = project(u - gamma * g_u, C)
+            fw = u - gamma * g_u
+            u_hat = project(fw, C)
             r = u - u_hat
             rn2 = jnp.dot(r, r)
             crit = jnp.sqrt(rn2) / gamma
             conv_now = crit <= tol
 
-            # Accelerated candidate from L-BFGS on the fixed-point residual.
-            d = lbfgs_direction(st.lbfgs, r)
-            cands = jnp.stack([u_hat, u + d])
+            # Structured step (the 'Structured' in alpaqa's
+            # StructuredPANOCLBFGSSolver): quasi-Newton only on the FREE
+            # variables; active (saturated) coordinates move straight to
+            # their bound. Projection kinks on active coordinates would
+            # otherwise corrupt the L-BFGS curvature pairs.
+            free = (fw > C.lower) & (fw < C.upper)
+            fmask = free.astype(u.dtype)
+            d_free = lbfgs_direction(st.lbfgs, r * fmask)
+            d = jnp.where(free, d_free, -r)
+            # Candidate fan: fallback x_hat (tau=0) + the tau grid, all
+            # evaluated in one batched call (replaces the sequential line
+            # search; see PanocConfig.taus).
+            cands = jnp.stack(
+                [u_hat] + [u - (1.0 - t) * r + t * d for t in cfg.taus])
             psis, grads = cand_vg(cands, args)
             psi_hat = psis[0]
 
@@ -208,7 +220,8 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
             u_n, psi_n, g_n = cands[best], psis[best], grads[best]
 
             r_n = u_n - project(u_n - gamma * g_n, C)
-            lb_n = lbfgs_push(st.lbfgs, u_n - u, r_n - r)
+            # Curvature pairs restricted to the free subspace.
+            lb_n = lbfgs_push(st.lbfgs, (u_n - u) * fmask, (r_n - r) * fmask)
             moved = jnp.any(u_n != u)
             st_step = st._replace(
                 u=u_n, psi=psi_n, grad=g_n, lbfgs=lb_n,
