@@ -80,8 +80,13 @@ def make_alm_solver(problem: Problem, alm_cfg: AlmConfig = AlmConfig(),
 
         panoc = make_panoc_solver(psi_vg, problem.C, panoc_cfg)
 
-        def solve(param, u0, lam0):
-            res = panoc(u0, jnp.asarray(alm_cfg.eps, u0.dtype), param)
+        def solve(param, u0, lam0, tol=None):
+            # ``tol`` overrides the configured tolerance per call; +inf makes
+            # the lane converge at iteration 0 (used by event-triggered MPC
+            # to skip untriggered lanes inside a batch at zero cost).
+            if tol is None:
+                tol = alm_cfg.eps
+            res = panoc(u0, jnp.asarray(tol, u0.dtype), param)
             return AlmResult(
                 u=res.u, lam=lam0, psi=res.psi, converged=res.converged,
                 outer_iterations=jnp.ones((), jnp.int32),
@@ -107,8 +112,11 @@ def make_alm_solver(problem: Problem, alm_cfg: AlmConfig = AlmConfig(),
 
     panoc = make_panoc_solver(psi_vg, problem.C, panoc_cfg)
 
-    def solve(param, u0, lam0):
+    def solve(param, u0, lam0, tol=None):
         dtype = u0.dtype
+        if tol is None:
+            tol = alm_cfg.eps
+        skip = jnp.asarray(tol, dtype) > jnp.asarray(1e30, dtype)
         st0 = _OuterState(
             u=u0,
             lam=lam0.astype(dtype),
@@ -119,7 +127,7 @@ def make_alm_solver(problem: Problem, alm_cfg: AlmConfig = AlmConfig(),
             outer=jnp.zeros((), jnp.int32),
             inner_total=jnp.zeros((), jnp.int32),
             failures=jnp.zeros((), jnp.int32),
-            converged=jnp.zeros((), bool),
+            converged=skip,  # skipped lanes exit before the first outer iter
             violation=jnp.full((), jnp.inf, dtype),
         )
 
