@@ -1,0 +1,128 @@
+"""Randomized scenario suites — generation and end-to-end rollout.
+
+BASELINE.json config #5: "10k randomized road/obstacle scenarios rolled out
+end-to-end on the pod slice". The reference has no scenario machinery at all
+(its roads are two hardcoded centerlines, main.py:11-22); this module
+generates batches of randomized roads (straight / arc / Bezier lane-change)
+and initial states on device with jax.random, and rolls the whole suite
+through the batched MPC closed loop — per-scenario centerlines included
+(each lane of the vmap carries its own road).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu.control.mpc import MpcController
+from mpc_tpu.ops.bezier import lane_change_control_points
+from mpc_tpu.sim.closedloop import ClosedLoopOut, run_closed_loop
+
+
+class ScenarioBatch(NamedTuple):
+    y0: jnp.ndarray           # (B, 6) initial states
+    centerline: jnp.ndarray   # (B, size, 2) per-scenario roads
+    obstacles: jnp.ndarray    # (B, K, 4) obstacle [x, y, phi, v]
+
+
+def _random_straight(key, size):
+    k1, k2, k3 = jax.random.split(key, 3)
+    heading = jax.random.uniform(k1, (), minval=-0.5, maxval=0.5)
+    offset = jax.random.uniform(k2, (2,), minval=-0.5, maxval=0.5)
+    spacing = jax.random.uniform(k3, (), minval=0.05, maxval=0.15)
+    s = jnp.arange(size) * spacing
+    d = jnp.stack([jnp.cos(heading), jnp.sin(heading)])
+    return offset + s[:, None] * d
+
+
+def _random_arc(key, size):
+    k1, k2, k3 = jax.random.split(key, 3)
+    radius = jax.random.uniform(k1, (), minval=2.0, maxval=8.0)
+    span = jax.random.uniform(k2, (), minval=1.5, maxval=2 * jnp.pi)
+    sign = jnp.where(jax.random.bernoulli(k3), 1.0, -1.0)
+    theta = jnp.linspace(0.0, span, size) * sign
+    # start at origin heading +x: circle center at (0, radius*sign)
+    x = radius * jnp.sin(theta)
+    y = sign * radius * (1.0 - jnp.cos(theta))
+    return jnp.stack([x, y], axis=1)
+
+
+def _random_lane_change(key, size):
+    k1, k2 = jax.random.split(key)
+    i = jax.random.uniform(k1, (), minval=1.0, maxval=10.0)
+    scale = jax.random.uniform(k2, (), minval=0.005, maxval=0.02)
+    path = lane_change_control_points(i)
+    # reference lane-change geometry is road-scale (meters, lane 3.75 m);
+    # scale down to the 1:43 RC-car world
+    pts = path.control_points * scale
+    t = jnp.linspace(0.0, 1.0, size)
+    from mpc_tpu.ops.bezier import bezier_curve
+    return bezier_curve(t, pts)
+
+
+def random_scenarios(key, batch: int, size: int = 100,
+                     n_obstacles: int = 2) -> ScenarioBatch:
+    """Generate a batch of randomized scenarios on device."""
+    keys = jax.random.split(key, batch)
+
+    def one(k):
+        k_road, k_kind, k_state, k_obs = jax.random.split(k, 4)
+        kind = jax.random.randint(k_kind, (), 0, 3)
+        cl = jax.lax.switch(kind, [
+            lambda: _random_straight(k_road, size),
+            lambda: _random_arc(k_road, size),
+            lambda: _random_lane_change(k_road, size),
+        ])
+        ks = jax.random.split(k_state, 4)
+        # start near the road's first segment, moving forward
+        d0 = cl[1] - cl[0]
+        heading = jnp.arctan2(d0[1], d0[0])
+        lateral = jax.random.uniform(ks[0], (), minval=-0.05, maxval=0.05)
+        normal = jnp.stack([-d0[1], d0[0]]) / jnp.linalg.norm(d0)
+        pos = cl[0] + normal * lateral
+        v0 = jax.random.uniform(ks[1], (), minval=0.2, maxval=1.0)
+        dpsi = jax.random.uniform(ks[2], (), minval=-0.2, maxval=0.2)
+        y0 = jnp.stack([pos[0], pos[1], heading + dpsi, v0,
+                        jnp.zeros(()), jnp.zeros(())])
+        # obstacles scattered along the road
+        oi = jax.random.randint(k_obs, (n_obstacles,), size // 4, size - 1)
+        opos = cl[oi]
+        obs = jnp.concatenate([
+            opos, jnp.zeros((n_obstacles, 1)),
+            jax.random.uniform(k_obs, (n_obstacles, 1), minval=0.0,
+                               maxval=0.5)], axis=1)
+        return y0, cl, obs
+
+    y0, cl, obs = jax.vmap(one)(keys)
+    return ScenarioBatch(y0=y0, centerline=cl, obstacles=obs)
+
+
+def run_scenario_suite(controller: MpcController, f_d, scenarios: ScenarioBatch,
+                       params, n_sim: int) -> ClosedLoopOut:
+    """Roll every scenario end-to-end: vmap of the scan closed loop, each
+    lane carrying its own centerline."""
+    def one(y0, cl):
+        return run_closed_loop(controller, f_d, y0,
+                               {"p": params, "centerline": cl}, n_sim, params)
+
+    return jax.jit(jax.vmap(one))(scenarios.y0, scenarios.centerline)
+
+
+def suite_summary(out: ClosedLoopOut, scenarios: ScenarioBatch):
+    """Aggregate suite metrics (host-side)."""
+    import numpy as np
+    ys = np.asarray(out.ys)            # (B, n_sim, 6)
+    conv = np.asarray(out.converged)   # (B, n_sim)
+    iters = np.asarray(out.inner_iters)
+    # distance of final position from final centerline point direction
+    return {
+        "scenarios": ys.shape[0],
+        "steps": ys.shape[1],
+        "total_solves": int(conv.size),
+        "converged_fraction": float(conv.mean()),
+        "mean_inner_iters": float(iters.mean()),
+        "mean_final_speed": float(np.abs(ys[:, -1, 3]).mean()),
+        "nan_scenarios": int(np.isnan(ys[:, -1]).any(axis=1).sum()),
+    }
