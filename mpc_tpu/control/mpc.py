@@ -94,7 +94,7 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
                       params: Optional[VehicleParams] = None,
                       weights=DEFAULT_VEHICLE_WEIGHTS,
                       bound_state_constraints: bool = False,
-                      errors_fn=None) -> Problem:
+                      errors_fn=None, window: Optional[int] = None) -> Problem:
     """Vehicle OCP matching reference main.py:25-59.
 
     Decision variable: flat input sequence (2*N,). Parameters: pytree
@@ -109,7 +109,26 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
         params = VehicleParams()
     f_d = discretize(pacejka_dynamics, ts=ts)
 
-    if errors_fn is None:
+    param_prep = None
+    if window is not None:
+        # Windowed nearest-point search: anchor the window at the nearest
+        # point to the initial state, computed once per cost evaluation
+        # (see ops.road.compute_errors_ocp_windowed). ``window`` must cover
+        # the horizon's worst-case travel in centerline points.
+        from mpc_tpu.ops.road import (compute_errors_ocp_windowed,
+                                      find_nearest_point)
+
+        def param_prep(param):
+            idx, _ = find_nearest_point(param["y0"][:2], param["centerline"])
+            return dict(param, window_center=idx)
+
+        def stage_cost(x, u, param):
+            def werr(pos, heading, cl):
+                return compute_errors_ocp_windowed(
+                    pos, heading, cl, param["window_center"], window)
+            return vehicle_stage_cost(x, u, param["centerline"], v_ref,
+                                      weights, errors_fn=werr)
+    elif errors_fn is None:
         def stage_cost(x, u, param):
             return vehicle_stage_cost(x, u, param["centerline"], v_ref, weights)
     else:
@@ -134,7 +153,8 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
 
     return build_ocp_problem(
         f_d, stage_cost, n_horiz, state_dim=6, input_dim=2, C=C,
-        stage_constraints=stage_constraints, n_stage_constraints=6, D=D)
+        stage_constraints=stage_constraints, n_stage_constraints=6, D=D,
+        param_prep=param_prep)
 
 
 def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
@@ -142,7 +162,8 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
                              params: Optional[VehicleParams] = None,
                              alm_cfg: Optional[AlmConfig] = None,
                              panoc_cfg: Optional[PanocConfig] = None,
-                             bound_state_constraints: bool = False) -> MpcController:
+                             bound_state_constraints: bool = False,
+                             window: Optional[int] = None) -> MpcController:
     """Vehicle MPC controller with the reference's solver configuration.
 
     Warm start ``U = tile([1, 0], N)`` (controller.py:20); L-BFGS memory =
@@ -150,7 +171,8 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
     (controller.py:41-43).
     """
     problem = build_vehicle_ocp(n_horiz, centerline_size, v_ref, ts, params,
-                                bound_state_constraints=bound_state_constraints)
+                                bound_state_constraints=bound_state_constraints,
+                                window=window)
     if alm_cfg is None:
         alm_cfg = AlmConfig()
     if panoc_cfg is None:

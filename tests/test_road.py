@@ -121,6 +121,24 @@ def test_batched_errors():
     np.testing.assert_allclose(float(errs.cte[1]), float(single.cte), rtol=1e-6)
 
 
+def test_windowed_errors_match_full():
+    from mpc_tpu.ops.road import compute_errors_ocp_windowed
+    for cl in (straight_centerline(100), circle_centerline(100)):
+        for pos, hdg in [((0.52, 0.3), 0.0), ((3.0, -0.2), 0.4),
+                         ((4.8, 5.3), 1.2), ((-4.7, 4.6), -1.0)]:
+            pos = jnp.asarray(pos, jnp.float32)
+            hdg = jnp.asarray(hdg, jnp.float32)
+            full = compute_errors_ocp(pos, hdg, cl)
+            idx = find_nearest_point(pos, cl)[0]
+            win = compute_errors_ocp_windowed(pos, hdg, cl, idx, 32)
+            np.testing.assert_allclose(float(win.cte), float(full.cte),
+                                       atol=1e-6)
+            np.testing.assert_allclose(float(win.heading_error),
+                                       float(full.heading_error), atol=1e-6)
+            np.testing.assert_allclose(float(win.pos_error),
+                                       float(full.pos_error), atol=1e-6)
+
+
 def test_road_class_default_circle():
     r = Road()
     assert r.centerline.shape == (100, 2)
