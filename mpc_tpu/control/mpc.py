@@ -94,7 +94,8 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
                       params: Optional[VehicleParams] = None,
                       weights=DEFAULT_VEHICLE_WEIGHTS,
                       bound_state_constraints: bool = False,
-                      errors_fn=None, window: Optional[int] = None) -> Problem:
+                      errors_fn=None, window: Optional[int] = None,
+                      model: str = "pacejka") -> Problem:
     """Vehicle OCP matching reference main.py:25-59.
 
     Decision variable: flat input sequence (2*N,). Parameters: pytree
@@ -107,7 +108,17 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
     """
     if params is None:
         params = VehicleParams()
-    f_d = discretize(pacejka_dynamics, ts=ts)
+    if model == "pacejka":
+        state_dim = 6
+        f_d = discretize(pacejka_dynamics, ts=ts)
+    elif model == "simplified":
+        # kinematic bicycle [x, y, phi, v] (config #1: kinematic model,
+        # straight road, N=20) — input boxes only, no state constraints
+        from mpc_tpu.models.bicycle import simplified_dynamics
+        state_dim = 4
+        f_d = discretize(simplified_dynamics, ts=ts)
+    else:
+        raise ValueError(f"unknown model {model!r}")
 
     param_prep = None
     if window is not None:
@@ -136,24 +147,30 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
             return vehicle_stage_cost(x, u, param["centerline"], v_ref, weights,
                                       errors_fn=errors_fn)
 
-    offs = jnp.asarray(STATE_CONSTRAINT_OFFSETS, jnp.float32)
-
-    def stage_constraints(x, u, param):
-        return x ** 2 - offs
-
     C = Box(
         lower=jnp.tile(jnp.asarray([-params.max_drive, -params.max_steer], jnp.float32), n_horiz),
         upper=jnp.tile(jnp.asarray([params.max_drive, params.max_steer], jnp.float32), n_horiz),
     )
-    m = 6 * n_horiz
-    if bound_state_constraints:
+
+    if state_dim == 6:
+        offs = jnp.asarray(STATE_CONSTRAINT_OFFSETS, jnp.float32)
+
+        def stage_constraints(x, u, param):
+            return x ** 2 - offs
+
+        m = 6 * n_horiz
+        n_stage = 6
+    else:
+        stage_constraints, m, n_stage = None, 0, 0
+
+    if bound_state_constraints and m:
         D = Box(jnp.full((m,), -jnp.inf), jnp.zeros((m,)))
     else:
         D = Box.unbounded(m)
 
     return build_ocp_problem(
-        f_d, stage_cost, n_horiz, state_dim=6, input_dim=2, C=C,
-        stage_constraints=stage_constraints, n_stage_constraints=6, D=D,
+        f_d, stage_cost, n_horiz, state_dim=state_dim, input_dim=2, C=C,
+        stage_constraints=stage_constraints, n_stage_constraints=n_stage, D=D,
         param_prep=param_prep)
 
 
@@ -163,7 +180,8 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
                              alm_cfg: Optional[AlmConfig] = None,
                              panoc_cfg: Optional[PanocConfig] = None,
                              bound_state_constraints: bool = False,
-                             window: Optional[int] = None) -> MpcController:
+                             window: Optional[int] = None,
+                             model: str = "pacejka") -> MpcController:
     """Vehicle MPC controller with the reference's solver configuration.
 
     Warm start ``U = tile([1, 0], N)`` (controller.py:20); L-BFGS memory =
@@ -172,7 +190,7 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
     """
     problem = build_vehicle_ocp(n_horiz, centerline_size, v_ref, ts, params,
                                 bound_state_constraints=bound_state_constraints,
-                                window=window)
+                                window=window, model=model)
     if alm_cfg is None:
         alm_cfg = AlmConfig()
     if panoc_cfg is None:

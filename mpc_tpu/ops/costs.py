@@ -32,7 +32,12 @@ def vehicle_stage_cost(x: jnp.ndarray, u: jnp.ndarray, centerline: jnp.ndarray,
     """
     pos = x[:2]
     err = errors_fn(pos, x[2], centerline)
-    speed = jnp.sqrt(x[3] ** 2 + x[4] ** 2)
+    # Pacejka state [x, y, phi, vx, vy, omega] -> speed = |(vx, vy)|;
+    # simplified kinematic state [x, y, phi, v] -> speed = |v|.
+    if x.shape[0] >= 5:
+        speed = jnp.sqrt(x[3] ** 2 + x[4] ** 2)
+    else:
+        speed = jnp.abs(x[3])
     return (c[0] * (speed - target_v) ** 2
             + c[1] * err.cte ** 2
             + c[2] * err.pos_error ** 2
