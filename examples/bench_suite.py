@@ -1,0 +1,236 @@
+"""Full benchmark suite: the five BASELINE.json configs on one chip.
+
+Writes PERF.md with solves/s, latency percentiles and convergence per config.
+
+Run:  python examples/bench_suite.py [--quick]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_tpu.config import AlmConfig, PanocConfig
+from mpc_tpu.control.event_triggered import EventTriggeredController
+from mpc_tpu.control.mpc import build_vehicle_controller
+from mpc_tpu.models.bicycle import pacejka_dynamics, simplified_dynamics
+from mpc_tpu.models.integrators import discretize
+from mpc_tpu.models.params import VehicleParams
+from mpc_tpu.ops.bezier import bezier_centerline, lane_change_control_points
+from mpc_tpu.ops.road import straight_centerline
+from mpc_tpu.utils.timing import percentile_summary
+
+PARAMS = VehicleParams()
+
+
+def bench_mpc_config(name, ctrl, f_d, cl, y0_fn, batch, n_warm=4, n_steps=10):
+    rng = np.random.default_rng(0)
+    y0s = jnp.asarray(np.stack([y0_fn(rng) for _ in range(batch)]))
+
+    @jax.jit
+    def step(state):
+        ys, carries = state
+
+        def one(y, c):
+            out = ctrl.step(c, {"y0": y, "p": PARAMS, "centerline": cl})
+            return f_d(y, out.u0, PARAMS), out.carry, out.result.converged
+        ys2, carries2, conv = jax.vmap(one)(ys, carries)
+        return (ys2, carries2), conv
+
+    carries = jax.vmap(lambda _: ctrl.init_carry())(jnp.arange(batch))
+    state = (y0s, carries)
+    for _ in range(n_warm):
+        state, conv = step(state)
+    jax.block_until_ready(state)
+    ts = []
+    for _ in range(n_steps):
+        t0 = time.perf_counter()
+        state, conv = step(state)
+        jax.block_until_ready(state)
+        ts.append(time.perf_counter() - t0)
+
+    lat = percentile_summary(ts)
+    return {
+        "config": name,
+        "batch": batch,
+        "solves_per_s": round(batch / lat["p50"], 1),
+        "p50_step_s": round(lat["p50"], 4),
+        "p99_step_s": round(lat["p99"], 4),
+        "converged_fraction": round(float(jnp.mean(conv.astype(jnp.float32))), 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    B = 256 if args.quick else 1024
+    results = []
+
+    # config 1: kinematic bicycle, straight road, N=20
+    ctrl1 = build_vehicle_controller(
+        n_horiz=20, model="simplified", alm_cfg=AlmConfig(eps=1e-4),
+        panoc_cfg=PanocConfig(lbfgs_memory=20, max_iter=200))
+    f_d1 = discretize(simplified_dynamics)
+
+    def y0_1(rng):
+        return np.array([0, rng.uniform(-0.05, 0.05), 0,
+                         rng.uniform(0.2, 1.0)], np.float32)
+
+    results.append(bench_mpc_config("1: kinematic straight N=20", ctrl1, f_d1,
+                                    straight_centerline(100), y0_1, B))
+    print(json.dumps(results[-1]), flush=True)
+
+    # config 2: Pacejka on Bezier road, N=40, bounded state constraints
+    pts = lane_change_control_points(5.0).control_points * 0.01
+    cl2 = bezier_centerline(pts, size=100)
+    ctrl2 = build_vehicle_controller(
+        n_horiz=40, bound_state_constraints=True,
+        alm_cfg=AlmConfig(eps=1e-3, delta=1e-3, max_iter=8, eps_0=1e-2),
+        panoc_cfg=PanocConfig(lbfgs_memory=40, max_iter=150))
+    f_d2 = discretize(pacejka_dynamics)
+    d0 = cl2[1] - cl2[0]
+    hd = float(jnp.arctan2(d0[1], d0[0]))
+
+    def y0_2(rng):
+        return np.array([float(cl2[0, 0]), float(cl2[0, 1]) +
+                         rng.uniform(-0.02, 0.02), hd,
+                         rng.uniform(0.2, 0.8), 0, 0], np.float32)
+
+    results.append(bench_mpc_config("2: dynamic Bezier N=40 + state constr",
+                                    ctrl2, f_d2, cl2, y0_2,
+                                    B // 4, n_steps=6))
+    print(json.dumps(results[-1]), flush=True)
+
+    # config 3: event-triggered over 1k initial states
+    base = build_vehicle_controller(
+        n_horiz=12, alm_cfg=AlmConfig(eps=1e-4),
+        panoc_cfg=PanocConfig(lbfgs_memory=12, max_iter=300))
+    f_d3 = discretize(pacejka_dynamics)
+    etc = EventTriggeredController(base=base, f_d=f_d3, threshold=1e-2,
+                                   eps=1e-4)
+    cl3 = straight_centerline(100)
+    B3 = 1024
+    rng = np.random.default_rng(0)
+    y0s = np.zeros((B3, 6), np.float32)
+    y0s[:, 1] = rng.uniform(-0.1, 0.1, B3)
+    y0s[:, 3] = rng.uniform(0.3, 1.0, B3)
+
+    @jax.jit
+    def etc_step(state):
+        ys, carries = state
+
+        def one(y, c):
+            out = etc.step(c, {"y0": y, "p": PARAMS, "centerline": cl3})
+            return f_d3(y, out.u0, PARAMS), out.carry, out.triggered
+        ys2, c2, trig = jax.vmap(one)(ys, carries)
+        return (ys2, c2), trig
+
+    carries = jax.vmap(lambda _: etc.init_carry())(jnp.arange(B3))
+    state = (jnp.asarray(y0s), carries)
+    for _ in range(4):
+        state, trig = etc_step(state)
+    jax.block_until_ready(state)
+    ts, trig_frac = [], []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        state, trig = etc_step(state)
+        jax.block_until_ready(state)
+        ts.append(time.perf_counter() - t0)
+        trig_frac.append(float(jnp.mean(trig.astype(jnp.float32))))
+    lat = percentile_summary(ts)
+    results.append({
+        "config": "3: event-triggered 1k states",
+        "batch": B3,
+        "steps_per_s_x_batch": round(B3 / lat["p50"], 1),
+        "p50_step_s": round(lat["p50"], 4),
+        "mean_trigger_fraction": round(float(np.mean(trig_frac)), 4),
+    })
+    print(json.dumps(results[-1]), flush=True)
+
+    # config 4: game-theoretic iterated best response, batched pairs
+    from mpc_tpu.decision.game_theory import (Cars, Ego,
+                                              lane_payoffs_batched)
+    B4 = 4096
+    rng = np.random.default_rng(1)
+    egos = Ego(x=jnp.asarray(rng.uniform(-10, 10, B4), jnp.float32),
+               v=jnp.asarray(rng.uniform(5, 20, B4), jnp.float32),
+               lane=jnp.ones((B4,), jnp.int32))
+    cars = Cars(
+        x=jnp.asarray(rng.uniform(-50, 80, (B4, 4)), jnp.float32),
+        v=jnp.asarray(rng.uniform(0, 20, (B4, 4)), jnp.float32),
+        lane=jnp.asarray(rng.integers(1, 3, (B4, 4)), jnp.int32),
+        mask=jnp.ones((B4, 4), bool))
+    pay = jax.jit(lane_payoffs_batched)
+    out = pay(egos, cars)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        out = pay(egos, cars)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    lat = percentile_summary(ts)
+    results.append({
+        "config": "4: game-theoretic payoffs",
+        "batch": B4,
+        "decisions_per_s": round(B4 / lat["p50"], 1),
+        "p50_s": round(lat["p50"], 5),
+    })
+    print(json.dumps(results[-1]), flush=True)
+
+    # config 5: randomized scenario suite end-to-end
+    from mpc_tpu.io.native_scenarios import generate_scenarios
+    from mpc_tpu.sim.scenarios import run_scenario_suite, suite_summary
+    B5 = 256 if args.quick else 2048
+    n_sim5 = 10
+    sc = generate_scenarios(seed=0, batch=B5, size=100)
+    sc = sc._replace(y0=jnp.asarray(sc.y0),
+                     centerline=jnp.asarray(sc.centerline))
+    ctrl5 = build_vehicle_controller(
+        n_horiz=12, alm_cfg=AlmConfig(eps=1e-4),
+        panoc_cfg=PanocConfig(lbfgs_memory=12, max_iter=150))
+    f_d5 = discretize(pacejka_dynamics)
+    out = run_scenario_suite(ctrl5, f_d5, sc, PARAMS, n_sim5)  # compile+run
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run_scenario_suite(ctrl5, f_d5, sc, PARAMS, n_sim5)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    s = suite_summary(out, sc)
+    results.append({
+        "config": "5: randomized scenario suite",
+        "batch": B5, "n_sim": n_sim5,
+        "wall_s": round(dt, 3),
+        "solves_per_s": round(B5 * n_sim5 / dt, 1),
+        "converged_fraction": s["converged_fraction"],
+        "nan_scenarios": s["nan_scenarios"],
+    })
+    print(json.dumps(results[-1]), flush=True)
+
+    # write PERF.md
+    dev = str(jax.devices()[0])
+    lines = [f"# PERF — benchmark suite ({dev})", "",
+             "One chip; complete warm-started MPC solves unless noted.", ""]
+    for r in results:
+        lines.append(f"## {r['config']}")
+        for k, v in r.items():
+            if k != "config":
+                lines.append(f"- {k}: {v}")
+        lines.append("")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PERF.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote PERF.md")
+
+
+if __name__ == "__main__":
+    main()

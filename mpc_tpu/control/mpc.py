@@ -181,7 +181,8 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
                              panoc_cfg: Optional[PanocConfig] = None,
                              bound_state_constraints: bool = False,
                              window: Optional[int] = None,
-                             model: str = "pacejka") -> MpcController:
+                             model: str = "pacejka",
+                             weights=DEFAULT_VEHICLE_WEIGHTS) -> MpcController:
     """Vehicle MPC controller with the reference's solver configuration.
 
     Warm start ``U = tile([1, 0], N)`` (controller.py:20); L-BFGS memory =
@@ -189,6 +190,7 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
     (controller.py:41-43).
     """
     problem = build_vehicle_ocp(n_horiz, centerline_size, v_ref, ts, params,
+                                weights=weights,
                                 bound_state_constraints=bound_state_constraints,
                                 window=window, model=model)
     if alm_cfg is None:
