@@ -110,6 +110,61 @@ def run_scenario_suite(controller: MpcController, f_d, scenarios: ScenarioBatch,
     return jax.jit(jax.vmap(one))(scenarios.y0, scenarios.centerline)
 
 
+def run_scenario_suite_resumable(controller: MpcController, f_d,
+                                 scenarios: ScenarioBatch, params,
+                                 n_sim: int, segment: int = 50,
+                                 checkpoint_path: Optional[str] = None):
+    """Chunked suite rollout with checkpoint/resume between segments.
+
+    For pod-scale 10k-rollout runs (SURVEY.md §5 checkpoint/resume row): the
+    closed loop advances ``segment`` steps per compiled call; after each
+    segment the full suite state (plant states + warm-start carries + step
+    index) is written atomically, and an interrupted run resumes from the
+    last checkpoint.
+    """
+    import numpy as np
+    from mpc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    b = scenarios.y0.shape[0]
+    carry0 = jax.vmap(lambda _: controller.init_carry())(jnp.arange(b))
+    state = {"ys": scenarios.y0, "carries": carry0}
+    step0 = 0
+    if checkpoint_path is not None and _exists(checkpoint_path):
+        state, step0 = load_checkpoint(checkpoint_path, state)
+        state = jax.tree_util.tree_map(jnp.asarray, state)
+
+    @jax.jit
+    def run_segment(ys, carries, cls):
+        def one(y, carry, cl):
+            def scan_step(sc, _):
+                y_, c_ = sc
+                out = controller.step(c_, {"y0": y_, "p": params,
+                                           "centerline": cl})
+                return (f_d(y_, out.u0, params), out.carry), out.result.converged
+            (y2, c2), conv = jax.lax.scan(scan_step, (y, carry), None,
+                                          length=segment)
+            return y2, c2, conv
+        return jax.vmap(one)(ys, carries, cls)
+
+    convs = []
+    step = step0
+    while step < n_sim:
+        ys, carries, conv = run_segment(state["ys"], state["carries"],
+                                        scenarios.centerline)
+        jax.block_until_ready(ys)
+        state = {"ys": ys, "carries": carries}
+        convs.append(np.asarray(conv))
+        step += segment
+        if checkpoint_path is not None:
+            save_checkpoint(checkpoint_path, state, step=step)
+    return state, np.concatenate(convs, axis=1) if convs else None
+
+
+def _exists(path: str) -> bool:
+    import os
+    return os.path.exists(path)
+
+
 def suite_summary(out: ClosedLoopOut, scenarios: ScenarioBatch):
     """Aggregate suite metrics (host-side)."""
     import numpy as np

@@ -58,6 +58,32 @@ def test_suite_rollout_end_to_end():
     assert summary["mean_final_speed"] > 0.1
 
 
+def test_resumable_suite_matches_straight_run(tmp_path):
+    import jax.numpy as jnp2
+    from mpc_tpu.io.native_scenarios import generate_scenarios
+    from mpc_tpu.sim.scenarios import run_scenario_suite_resumable
+
+    sc = generate_scenarios(seed=0, batch=4, size=100)
+    sc = sc._replace(y0=jnp2.asarray(sc.y0),
+                     centerline=jnp2.asarray(sc.centerline))
+    ctrl = build_vehicle_controller(
+        n_horiz=8, alm_cfg=AlmConfig(eps=1e-3),
+        panoc_cfg=PanocConfig(lbfgs_memory=8, max_iter=60))
+    f_d = discretize(pacejka_dynamics)
+    p = os.path.join(tmp_path, "ck.npz")
+
+    state_a, conv = run_scenario_suite_resumable(
+        ctrl, f_d, sc, VehicleParams(), 8, segment=4)
+    # interrupted at step 4, then resumed to 8 from the checkpoint
+    run_scenario_suite_resumable(ctrl, f_d, sc, VehicleParams(), 4,
+                                 segment=4, checkpoint_path=p)
+    state_b, _ = run_scenario_suite_resumable(
+        ctrl, f_d, sc, VehicleParams(), 8, segment=4, checkpoint_path=p)
+    np.testing.assert_allclose(np.asarray(state_a["ys"]),
+                               np.asarray(state_b["ys"]), atol=1e-6)
+    assert conv.shape == (4, 8)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tree = {"ys": jnp.arange(12.0).reshape(3, 4),
             "carry": (jnp.zeros(5), jnp.asarray(3))}
