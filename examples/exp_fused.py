@@ -1,0 +1,87 @@
+"""TPU experiment: fused cost evaluation backends on the headline config.
+
+Compares solves/s for the N=12 Pacejka vehicle MPC (bench.py configuration)
+with: plain per-lane vmap path, fused XLA batched path, fused Pallas
+megakernel path.
+
+Run:  python examples/exp_fused.py [plain|xla|pallas ...]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_tpu.config import AlmConfig, PanocConfig
+from mpc_tpu.control.mpc import build_vehicle_controller
+from mpc_tpu.models.bicycle import pacejka_dynamics
+from mpc_tpu.models.integrators import discretize
+from mpc_tpu.models.params import VehicleParams
+from mpc_tpu.ops.road import straight_centerline
+
+PARAMS = VehicleParams()
+
+
+def bench(backend, batch=1024, n_horiz=12, block_e=512):
+    fused = None if backend == "plain" else backend
+    ctrl = build_vehicle_controller(
+        n_horiz=n_horiz, alm_cfg=AlmConfig(eps=1e-4),
+        panoc_cfg=PanocConfig(lbfgs_memory=n_horiz, max_iter=300),
+        fused=fused, fused_block_e=block_e)
+    f_d = discretize(pacejka_dynamics)
+    cl = straight_centerline(100)
+
+    rng = np.random.default_rng(0)
+    y0s = np.zeros((batch, 6), np.float32)
+    y0s[:, 0] = rng.uniform(-0.1, 0.5, batch)
+    y0s[:, 1] = rng.uniform(-0.1, 0.1, batch)
+    y0s[:, 2] = rng.uniform(-0.2, 0.2, batch)
+    y0s[:, 3] = rng.uniform(0.3, 1.0, batch)
+    ys = jnp.asarray(y0s)
+
+    @jax.jit
+    def mpc_step(ys, carries):
+        def one(y, carry):
+            out = ctrl.step(carry, {"y0": y, "p": PARAMS, "centerline": cl})
+            return f_d(y, out.u0, PARAMS), out.carry, out.result.converged
+        return jax.vmap(one)(ys, carries)
+
+    carries = jax.vmap(lambda _: ctrl.init_carry())(jnp.arange(batch))
+    t_c0 = time.perf_counter()
+    for _ in range(5):
+        ys, carries, conv = mpc_step(ys, carries)
+    jax.block_until_ready(ys)
+    compile_s = time.perf_counter() - t_c0
+
+    ts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        ys, carries, conv = mpc_step(ys, carries)
+        jax.block_until_ready(ys)
+        ts.append(time.perf_counter() - t0)
+    p50 = float(np.median(ts))
+    print(json.dumps({
+        "exp": f"fused_{backend}", "batch": batch,
+        "solves_per_s": round(batch / p50, 1),
+        "p50_step_s": round(p50, 4),
+        "warmup_s": round(compile_s, 1),
+        "converged_fraction": round(float(jnp.mean(conv.astype(jnp.float32))), 4),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    backends = sys.argv[1:] or ["plain", "xla", "pallas"]
+    for b in backends:
+        try:
+            bench(b)
+        except Exception as exc:  # keep going; report the failure
+            print(json.dumps({"exp": f"fused_{b}",
+                              "error": f"{type(exc).__name__}: {exc}"[:500]}),
+                  flush=True)

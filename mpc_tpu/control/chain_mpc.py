@@ -90,4 +90,5 @@ def build_chain_controller(spec: ChainSpec = ChainSpec(), n_horiz: int = 12,
     solve = make_alm_solver(problem, alm_cfg, panoc_cfg)
     return MpcController(problem=problem, solve=solve, n_horiz=n_horiz,
                          input_dim=spec.dim,
-                         warm_start_input=(0.0,) * spec.dim)
+                         warm_start_input=(0.0,) * spec.dim,
+                         sigma_0=alm_cfg.sigma_0)

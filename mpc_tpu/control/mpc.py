@@ -31,9 +31,18 @@ STATE_CONSTRAINT_OFFSETS = (20.0, 1.0, 1.0, 2.0, 1.0, 0.1)
 
 
 class MpcCarry(NamedTuple):
-    """Warm-start carry across MPC steps (reference: controller.py:20-21,57)."""
+    """Warm-start carry across MPC steps (reference: controller.py:20-21,57).
+
+    Beyond the reference's (U, lam) warm start, the ALM penalties ``sigma``
+    are carried too: in MPC steady state the active set barely changes
+    between steps, so re-learning the penalties (and re-running the eps
+    homotopy) every step is pure waste — a warm solve needs ~1 outer
+    iteration instead of the full schedule.
+    """
     U: jnp.ndarray          # (n_horiz * input_dim,) flat input sequence
     lam: jnp.ndarray        # (m,) Lagrange multipliers
+    sigma: jnp.ndarray      # (m,) ALM penalties
+    gamma: jnp.ndarray      # () PANOC step size (<=0 -> re-estimate)
     tot_it: jnp.ndarray     # accumulated inner iterations (controller.py:63)
     failures: jnp.ndarray   # accumulated non-Converged solves (controller.py:64)
 
@@ -48,16 +57,19 @@ class MpcStepOut(NamedTuple):
 class MpcController:
     """A built MPC controller: jit/vmap-able ``step`` + initial carry."""
     problem: Problem
-    solve: Callable                    # (param, U0, lam0) -> AlmResult
+    solve: Callable                    # (param, U0, lam0, sigma0) -> AlmResult
     n_horiz: int
     input_dim: int
     warm_start_input: tuple            # repeated per stage for the initial U
+    sigma_0: float = 1e5               # initial ALM penalty for the carry
 
     def init_carry(self, dtype=jnp.float32) -> MpcCarry:
         U0 = jnp.tile(jnp.asarray(self.warm_start_input, dtype), self.n_horiz)
         return MpcCarry(
             U=U0,
             lam=jnp.zeros((self.problem.m,), dtype),
+            sigma=jnp.full((self.problem.m,), self.sigma_0, dtype),
+            gamma=jnp.zeros((), dtype),   # 0 -> fresh Lipschitz estimate
             tot_it=jnp.zeros((), jnp.int32),
             failures=jnp.zeros((), jnp.int32),
         )
@@ -69,10 +81,13 @@ class MpcController:
         model params ``p``, road, ...). Returns the updated warm-start carry,
         the first input of the optimal sequence (main.py:140-141), and stats.
         """
-        res = self.solve(param, carry.U, carry.lam)
+        res = self.solve(param, carry.U, carry.lam, sigma0=carry.sigma,
+                         gamma0=carry.gamma)
         new_carry = MpcCarry(
             U=res.u,
             lam=res.lam,
+            sigma=res.sigma,
+            gamma=res.gamma,
             tot_it=carry.tot_it + res.inner_iterations,
             failures=carry.failures + (~res.converged).astype(jnp.int32),
         )
@@ -95,7 +110,10 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
                       weights=DEFAULT_VEHICLE_WEIGHTS,
                       bound_state_constraints: bool = False,
                       errors_fn=None, window: Optional[int] = None,
-                      model: str = "pacejka") -> Problem:
+                      model: str = "pacejka",
+                      fused: Optional[str] = None,
+                      fused_block_e: int = 256,
+                      unroll: Optional[int] = None) -> Problem:
     """Vehicle OCP matching reference main.py:25-59.
 
     Decision variable: flat input sequence (2*N,). Parameters: pytree
@@ -168,10 +186,37 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
     else:
         D = Box.unbounded(m)
 
-    return build_ocp_problem(
+    problem = build_ocp_problem(
         f_d, stage_cost, n_horiz, state_dim=state_dim, input_dim=2, C=C,
         stage_constraints=stage_constraints, n_stage_constraints=n_stage, D=D,
-        param_prep=param_prep)
+        param_prep=param_prep, unroll=unroll)
+
+    if fused is not None:
+        if window is not None or errors_fn is not None:
+            raise ValueError("fused cost evaluation supports only the dense "
+                             "full-centerline error path")
+        from mpc_tpu.ops.fused_psi import (make_vehicle_al_multi,
+                                           make_vehicle_cost_multi)
+        cost_multi = make_vehicle_cost_multi(
+            n_horiz, ts=ts, v_ref=v_ref, weights=weights, model=model,
+            backend=fused, block_e=fused_block_e, unroll=unroll,
+            params=params)
+        al_multi = None
+        if bound_state_constraints and m:
+            al = make_vehicle_al_multi(
+                n_horiz, STATE_CONSTRAINT_OFFSETS, D.lower, D.upper, ts=ts,
+                v_ref=v_ref, weights=weights, model=model, backend=fused,
+                block_e=fused_block_e, unroll=unroll, params=params)
+
+            def al_multi(cands, param, lam, sigma):
+                return al(cands, param["y0"], param["centerline"], param["p"],
+                          lam, sigma)
+        problem = dataclasses.replace(
+            problem,
+            cost_multi=lambda cands, param: cost_multi(
+                cands, param["y0"], param["centerline"], param["p"]),
+            al_multi=al_multi)
+    return problem
 
 
 def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
@@ -182,7 +227,10 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
                              bound_state_constraints: bool = False,
                              window: Optional[int] = None,
                              model: str = "pacejka",
-                             weights=DEFAULT_VEHICLE_WEIGHTS) -> MpcController:
+                             weights=DEFAULT_VEHICLE_WEIGHTS,
+                             fused: Optional[str] = None,
+                             fused_block_e: int = 256,
+                             unroll: Optional[int] = None) -> MpcController:
     """Vehicle MPC controller with the reference's solver configuration.
 
     Warm start ``U = tile([1, 0], N)`` (controller.py:20); L-BFGS memory =
@@ -192,11 +240,13 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
     problem = build_vehicle_ocp(n_horiz, centerline_size, v_ref, ts, params,
                                 weights=weights,
                                 bound_state_constraints=bound_state_constraints,
-                                window=window, model=model)
+                                window=window, model=model, fused=fused,
+                                fused_block_e=fused_block_e, unroll=unroll)
     if alm_cfg is None:
         alm_cfg = AlmConfig()
     if panoc_cfg is None:
         panoc_cfg = PanocConfig(lbfgs_memory=n_horiz)
     solve = make_alm_solver(problem, alm_cfg, panoc_cfg)
     return MpcController(problem=problem, solve=solve, n_horiz=n_horiz,
-                         input_dim=2, warm_start_input=(1.0, 0.0))
+                         input_dim=2, warm_start_input=(1.0, 0.0),
+                         sigma_0=alm_cfg.sigma_0)

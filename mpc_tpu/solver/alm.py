@@ -45,12 +45,15 @@ class AlmResult(NamedTuple):
     inner_iterations: jnp.ndarray     # total PANOC iterations across outer loop
     constraint_violation: jnp.ndarray  # final ||e||_inf
     inner_convergence_failures: jnp.ndarray
+    sigma: jnp.ndarray                 # final penalties (m,) — warm-start carry
+    gamma: jnp.ndarray                 # final PANOC step size — warm-start carry
 
 
 class _OuterState(NamedTuple):
     u: jnp.ndarray
     lam: jnp.ndarray
     sigma: jnp.ndarray
+    gamma: jnp.ndarray
     eps_k: jnp.ndarray
     e_prev: jnp.ndarray
     psi: jnp.ndarray
@@ -78,21 +81,32 @@ def make_alm_solver(problem: Problem, alm_cfg: AlmConfig = AlmConfig(),
             param = args
             return jax.value_and_grad(problem.cost)(u, param)
 
-        panoc = make_panoc_solver(psi_vg, problem.C, panoc_cfg)
+        psi_vg_multi = None
+        if problem.cost_multi is not None:
+            def psi_vg_multi(cands, args):
+                return problem.cost_multi(cands, args)
 
-        def solve(param, u0, lam0, tol=None):
+        panoc = make_panoc_solver(psi_vg, problem.C, panoc_cfg,
+                                  psi_vg_multi=psi_vg_multi)
+
+        def solve(param, u0, lam0, tol=None, sigma0=None, gamma0=None):
             # ``tol`` overrides the configured tolerance per call; +inf makes
             # the lane converge at iteration 0 (used by event-triggered MPC
             # to skip untriggered lanes inside a batch at zero cost).
             if tol is None:
                 tol = alm_cfg.eps
-            res = panoc(u0, jnp.asarray(tol, u0.dtype), param)
+            res = panoc(u0, jnp.asarray(tol, u0.dtype), param,
+                        gamma_init=gamma0)
+            sigma = sigma0 if sigma0 is not None else \
+                jnp.full((problem.m,), alm_cfg.sigma_0, u0.dtype)
             return AlmResult(
                 u=res.u, lam=lam0, psi=res.psi, converged=res.converged,
                 outer_iterations=jnp.ones((), jnp.int32),
                 inner_iterations=res.iterations,
                 constraint_violation=jnp.zeros((), u0.dtype),
                 inner_convergence_failures=(~res.converged).astype(jnp.int32),
+                sigma=sigma,
+                gamma=res.gamma,
             )
 
         return solve
@@ -110,18 +124,34 @@ def make_alm_solver(problem: Problem, alm_cfg: AlmConfig = AlmConfig(),
 
         return jax.value_and_grad(psi)(u)
 
-    panoc = make_panoc_solver(psi_vg, problem.C, panoc_cfg)
+    psi_vg_multi = None
+    if problem.al_multi is not None:
+        def psi_vg_multi(cands, args):
+            param, lam, sigma = args
+            return problem.al_multi(cands, param, lam, sigma)
 
-    def solve(param, u0, lam0, tol=None):
+    panoc = make_panoc_solver(psi_vg, problem.C, panoc_cfg,
+                              psi_vg_multi=psi_vg_multi)
+
+    def solve(param, u0, lam0, tol=None, sigma0=None, gamma0=None):
         dtype = u0.dtype
         if tol is None:
             tol = alm_cfg.eps
         skip = jnp.asarray(tol, dtype) > jnp.asarray(1e30, dtype)
+        # Warm-started penalties (MPC steady state: the previous step's Sigma
+        # already encodes which constraints bind) skip the eps homotopy and
+        # start the inner solver at the final tolerance — a warm solve then
+        # typically needs a single outer iteration. Cold solves keep the
+        # eps_0 -> eps schedule (alpaqa's ALM behavior).
+        warm = sigma0 is not None
         st0 = _OuterState(
             u=u0,
             lam=lam0.astype(dtype),
-            sigma=jnp.full((problem.m,), alm_cfg.sigma_0, dtype),
-            eps_k=jnp.asarray(alm_cfg.eps_0, dtype),
+            sigma=(sigma0.astype(dtype) if warm
+                   else jnp.full((problem.m,), alm_cfg.sigma_0, dtype)),
+            gamma=(gamma0.astype(dtype) if gamma0 is not None
+                   else jnp.zeros((), dtype)),
+            eps_k=jnp.asarray(alm_cfg.eps if warm else alm_cfg.eps_0, dtype),
             e_prev=jnp.full((problem.m,), jnp.inf, dtype),
             psi=jnp.zeros((), dtype),
             outer=jnp.zeros((), jnp.int32),
@@ -135,7 +165,8 @@ def make_alm_solver(problem: Problem, alm_cfg: AlmConfig = AlmConfig(),
             return (~st.converged) & (st.outer < alm_cfg.max_iter)
 
         def body(st: _OuterState) -> _OuterState:
-            res = panoc(st.u, st.eps_k, (param, st.lam, st.sigma))
+            res = panoc(st.u, st.eps_k, (param, st.lam, st.sigma),
+                        gamma_init=st.gamma)
 
             g = problem.constraints(res.u, param)
             zeta = g + st.lam / st.sigma
@@ -160,7 +191,8 @@ def make_alm_solver(problem: Problem, alm_cfg: AlmConfig = AlmConfig(),
                                    st.eps_k * alm_cfg.rho_eps)
 
             st_new = _OuterState(
-                u=res.u, lam=lam_new, sigma=sigma_new, eps_k=eps_next,
+                u=res.u, lam=lam_new, sigma=sigma_new, gamma=res.gamma,
+                eps_k=eps_next,
                 e_prev=jnp.abs(e), psi=res.psi,
                 outer=st.outer + 1,
                 inner_total=st.inner_total + res.iterations,
@@ -177,6 +209,8 @@ def make_alm_solver(problem: Problem, alm_cfg: AlmConfig = AlmConfig(),
             inner_iterations=st.inner_total,
             constraint_violation=st.violation,
             inner_convergence_failures=st.failures,
+            sigma=st.sigma,
+            gamma=st.gamma,
         )
 
     return solve

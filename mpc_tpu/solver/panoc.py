@@ -110,6 +110,7 @@ class PanocResult(NamedTuple):
     converged: jnp.ndarray
     iterations: jnp.ndarray
     criterion: jnp.ndarray   # final ||r||/gamma (ProjGradNorm2)
+    gamma: jnp.ndarray       # final step size — warm-start carry
 
 
 class _State(NamedTuple):
@@ -130,14 +131,19 @@ def _tree_where(pred, a, b):
 
 
 def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
-                      C: Box, cfg: PanocConfig) -> Callable:
+                      C: Box, cfg: PanocConfig,
+                      psi_vg_multi: Callable = None) -> Callable:
     """Build ``solve(u0, tol, args) -> PanocResult``.
 
     ``psi_vg(u, args) -> (psi, grad)`` is the value-and-gradient of the smooth
     objective (plain cost, or the augmented Lagrangian when called from ALM).
+    ``psi_vg_multi(cands (K, n), args) -> ((K,), (K, n))``, when given,
+    replaces ``vmap(psi_vg)`` for the per-iteration candidate fan — the hook
+    for the fused batched evaluator (ops/fused_psi.py).
     The returned ``solve`` is jit-able and vmap-able over ``(u0, args)``.
     """
-    cand_vg = jax.vmap(psi_vg, in_axes=(0, None))
+    cand_vg = psi_vg_multi if psi_vg_multi is not None \
+        else jax.vmap(psi_vg, in_axes=(0, None))
 
     def fbe(u_c, psi_c, grad_c, gamma):
         """Forward-backward envelope phi_gamma at a point."""
@@ -145,18 +151,25 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
         diff = uh - u_c
         return psi_c + jnp.dot(grad_c, diff) + jnp.dot(diff, diff) / (2.0 * gamma)
 
-    def solve(u0: jnp.ndarray, tol, args) -> PanocResult:
+    def solve(u0: jnp.ndarray, tol, args, gamma_init=None) -> PanocResult:
         dtype = u0.dtype
         u0 = project(u0, C)
-        psi0, g0 = psi_vg(u0, args)
 
         # Initial step size from a finite-difference Lipschitz estimate
         # (stand-in for alpaqa's hessian_step_size_heuristic, controller.py:33).
+        # Both points go through the candidate-fan evaluator in one call.
         h = 1e-4 * (1.0 + jnp.abs(u0))
-        _, g_h = psi_vg(u0 + h, args)
+        psis0, grads0 = cand_vg(jnp.stack([u0, u0 + h]), args)
+        psi0, g0, g_h = psis0[0], grads0[0], grads0[1]
         L0 = jnp.linalg.norm(g_h - g0) / jnp.maximum(jnp.linalg.norm(h), 1e-30)
         L0 = jnp.clip(L0, 1e-8, 1e15)
         gamma0 = jnp.asarray(cfg.alpha, dtype) / L0
+        if gamma_init is not None:
+            # Warm-started step size (MPC steady state): positive entries
+            # override the estimate; non-positive (cold) lanes keep it. A
+            # stale-large gamma self-corrects through the quadratic-upper-
+            # bound check below.
+            gamma0 = jnp.where(gamma_init > 0, gamma_init.astype(dtype), gamma0)
 
         st0 = _State(
             u=u0, psi=psi0, grad=g0, gamma=gamma0,
@@ -246,6 +259,7 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
             converged=st.converged | (crit <= tol),
             iterations=st.iters,
             criterion=crit,
+            gamma=st.gamma,
         )
 
     return solve

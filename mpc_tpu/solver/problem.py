@@ -66,6 +66,15 @@ class Problem:
     D: Box                      # general-constraint box (m,)
     n: int                      # number of decision variables
     m: int                      # number of general constraints
+    # Optional fused multi-candidate value+grad of the cost:
+    # (cands (K, n), param) -> (psi (K,), grad (K, n)). When present, the
+    # inner solver evaluates its line-search fan through this (e.g. the
+    # batched/Pallas evaluator in ops/fused_psi.py) instead of
+    # vmap(value_and_grad(cost)).
+    cost_multi: Optional[Callable] = None
+    # Fused augmented-Lagrangian variant for the general-constraint path:
+    # (cands (K, n), param, lam (m,), sigma (m,)) -> (psi (K,), grad (K, n)).
+    al_multi: Optional[Callable] = None
 
     def cost_grad(self):
         """Value-and-gradient of the plain cost (CasADi-autodiff replacement)."""
