@@ -94,7 +94,7 @@ def main():
     cl2 = bezier_centerline(pts, size=100)
     ctrl2 = build_vehicle_controller(
         n_horiz=40, bound_state_constraints=True,
-        alm_cfg=AlmConfig(eps=1e-3, delta=1e-3, max_iter=8, eps_0=1e-2),
+        alm_cfg=AlmConfig(eps=1e-3, delta=1e-3, max_iter=8, eps_0=1e-2, sigma_0=1e3),
         panoc_cfg=PanocConfig(lbfgs_memory=40, max_iter=150))
     f_d2 = discretize(pacejka_dynamics)
     d0 = cl2[1] - cl2[0]

@@ -48,7 +48,7 @@ def bench_config2():
     B = 256
     ctrl = build_vehicle_controller(
         n_horiz=40, bound_state_constraints=True,
-        alm_cfg=AlmConfig(eps=1e-3, delta=1e-3, max_iter=8, eps_0=1e-2),
+        alm_cfg=AlmConfig(eps=1e-3, delta=1e-3, max_iter=8, eps_0=1e-2, sigma_0=1e3),
         panoc_cfg=PanocConfig(lbfgs_memory=40, max_iter=150))
     f_d = discretize(pacejka_dynamics)
     d0 = cl[1] - cl[0]

@@ -32,6 +32,21 @@ class PanocConfig:
     taus: tuple = (1.0, 0.25, 1.0 / 16.0, 1.0 / 64.0)
     gamma_min: float = 1e-12
     max_gamma_backtracks: int = 60   # implicit via gamma_min; kept for clarity
+    # The ProjGradNorm2 criterion ||r||/gamma has an f32 rounding floor of
+    # ~eps_f32*||u||/gamma. A lane that exits via the stagnation/plateau
+    # path (iterates stopped moving, or the criterion stopped improving for
+    # plateau_iters iterations) while within crit_floor_mult times that
+    # floor is counted converged (solver/panoc.py). Set 0 to disable.
+    crit_floor_mult: float = 4.0
+    # Exit a lane whose best criterion has not improved for this many
+    # consecutive iterations — a stiff f32 lane otherwise spins at max_iter
+    # chasing a tolerance below the representable floor.
+    plateau_iters: int = 40
+    # Opt-in per-iterate history (psi, ||r||/gamma, gamma) in fixed-size
+    # buffers — the batch-friendly replacement for alpaqa's streaming
+    # progress callback (controller.py:23-24,38). Off by default: it adds a
+    # (max_iter,) x3 buffer per lane.
+    trace: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,7 +60,11 @@ class AlmConfig:
     """
     eps: float = 1e-6                # final inner tolerance (stationarity)
     delta: float = 1e-4              # constraint violation tolerance
-    sigma_0: float = 1e5             # initial penalty
+    # Initial penalty. The reference's 1e5 (an f64 number) is kept as the
+    # default for parity, but in f32 prefer ~1e2..1e3 on problems whose AL
+    # actually binds: at sigma ~ 1e5 the AL evaluation noise reaches the
+    # QUB margin and the criterion ||r||/gamma hits its representable floor.
+    sigma_0: float = 1e5
     max_iter: int = 20
     eps_0: float = 1e-1              # initial inner tolerance
     rho_eps: float = 1e-1            # inner tolerance shrink factor per outer iter
@@ -53,6 +72,9 @@ class AlmConfig:
     theta: float = 0.25              # required violation decrease factor
     sigma_max: float = 1e9
     lam_max: float = 1e9
+    # Opt-in per-outer-iteration history (psi, violation, eps_k, max sigma,
+    # inner iterations); see PanocConfig.trace for the inner analogue.
+    trace: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

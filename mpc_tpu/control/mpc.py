@@ -37,7 +37,11 @@ class MpcCarry(NamedTuple):
     are carried too: in MPC steady state the active set barely changes
     between steps, so re-learning the penalties (and re-running the eps
     homotopy) every step is pure waste — a warm solve needs ~1 outer
-    iteration instead of the full schedule.
+    iteration instead of the full schedule. ``sigma = 0`` is the *cold*
+    sentinel: the first solve of a rollout runs the full eps_0 -> eps
+    homotopy from sigma_0 (alpaqa's cold-start behavior); the solver caps
+    carried penalties at sigma_0 so they cannot ratchet up across a rollout
+    (see solver/alm.py).
     """
     U: jnp.ndarray          # (n_horiz * input_dim,) flat input sequence
     lam: jnp.ndarray        # (m,) Lagrange multipliers
@@ -68,7 +72,7 @@ class MpcController:
         return MpcCarry(
             U=U0,
             lam=jnp.zeros((self.problem.m,), dtype),
-            sigma=jnp.full((self.problem.m,), self.sigma_0, dtype),
+            sigma=jnp.zeros((self.problem.m,), dtype),  # 0 -> cold start
             gamma=jnp.zeros((), dtype),   # 0 -> fresh Lipschitz estimate
             tot_it=jnp.zeros((), jnp.int32),
             failures=jnp.zeros((), jnp.int32),
@@ -83,11 +87,17 @@ class MpcController:
         """
         res = self.solve(param, carry.U, carry.lam, sigma0=carry.sigma,
                          gamma0=carry.gamma)
+        # Failure recovery: a non-converged solve leaves sigma/gamma in
+        # whatever corner it diverged into — carrying them forward compounds
+        # the failure across the rollout. Reset those lanes to the cold
+        # sentinel so the next solve re-runs the full homotopy (the batched
+        # analogue of the reference restarting its solver by hand).
+        ok = res.converged
         new_carry = MpcCarry(
             U=res.u,
             lam=res.lam,
-            sigma=res.sigma,
-            gamma=res.gamma,
+            sigma=jnp.where(ok, res.sigma, jnp.zeros_like(res.sigma)),
+            gamma=jnp.where(ok, res.gamma, jnp.zeros_like(res.gamma)),
             tot_it=carry.tot_it + res.inner_iterations,
             failures=carry.failures + (~res.converged).astype(jnp.int32),
         )
@@ -113,7 +123,9 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
                       model: str = "pacejka",
                       fused: Optional[str] = None,
                       fused_block_e: int = 256,
-                      unroll: Optional[int] = None) -> Problem:
+                      unroll: Optional[int] = None,
+                      obstacle_weight: float = 0.0,
+                      obstacle_field_kwargs: Optional[dict] = None) -> Problem:
     """Vehicle OCP matching reference main.py:25-59.
 
     Decision variable: flat input sequence (2*N,). Parameters: pytree
@@ -123,6 +135,11 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
     constraints from main.py:43-52. The reference leaves the D bounds
     commented out (main.py:57) so they are built but unbounded by default;
     ``bound_state_constraints=True`` activates ``g <= 0``.
+
+    ``obstacle_weight > 0`` adds the differentiable obstacle risk field
+    (ops/potential_field.py — the loop the reference's viz-only dpf_test.py
+    never closed) to every stage cost; the parameter pytree then also
+    carries ``obstacles`` (K, 4) rows ``[x, y, phi, v]``.
     """
     if params is None:
         params = VehicleParams()
@@ -165,6 +182,15 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
             return vehicle_stage_cost(x, u, param["centerline"], v_ref, weights,
                                       errors_fn=errors_fn)
 
+    if obstacle_weight > 0.0:
+        from mpc_tpu.ops.potential_field import obstacle_stage_cost
+        obs_kw = obstacle_field_kwargs or {}
+        base_stage_cost = stage_cost
+
+        def stage_cost(x, u, param):
+            return base_stage_cost(x, u, param) + obstacle_stage_cost(
+                x, param["obstacles"], weight=obstacle_weight, **obs_kw)
+
     C = Box(
         lower=jnp.tile(jnp.asarray([-params.max_drive, -params.max_steer], jnp.float32), n_horiz),
         upper=jnp.tile(jnp.asarray([params.max_drive, params.max_steer], jnp.float32), n_horiz),
@@ -190,11 +216,16 @@ def build_vehicle_ocp(n_horiz: int = 12, centerline_size: int = 100,
         f_d, stage_cost, n_horiz, state_dim=state_dim, input_dim=2, C=C,
         stage_constraints=stage_constraints, n_stage_constraints=n_stage, D=D,
         param_prep=param_prep, unroll=unroll)
+    if obstacle_weight > 0.0:
+        problem = dataclasses.replace(problem, uses_obstacles=True)
 
     if fused is not None:
         if window is not None or errors_fn is not None:
             raise ValueError("fused cost evaluation supports only the dense "
                              "full-centerline error path")
+        if obstacle_weight > 0.0:
+            raise ValueError("fused cost evaluation does not include the "
+                             "obstacle field term")
         from mpc_tpu.ops.fused_psi import (make_vehicle_al_multi,
                                            make_vehicle_cost_multi)
         cost_multi = make_vehicle_cost_multi(
@@ -230,7 +261,10 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
                              weights=DEFAULT_VEHICLE_WEIGHTS,
                              fused: Optional[str] = None,
                              fused_block_e: int = 256,
-                             unroll: Optional[int] = None) -> MpcController:
+                             unroll: Optional[int] = None,
+                             obstacle_weight: float = 0.0,
+                             obstacle_field_kwargs: Optional[dict] = None
+                             ) -> MpcController:
     """Vehicle MPC controller with the reference's solver configuration.
 
     Warm start ``U = tile([1, 0], N)`` (controller.py:20); L-BFGS memory =
@@ -241,7 +275,9 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
                                 weights=weights,
                                 bound_state_constraints=bound_state_constraints,
                                 window=window, model=model, fused=fused,
-                                fused_block_e=fused_block_e, unroll=unroll)
+                                fused_block_e=fused_block_e, unroll=unroll,
+                                obstacle_weight=obstacle_weight,
+                                obstacle_field_kwargs=obstacle_field_kwargs)
     if alm_cfg is None:
         alm_cfg = AlmConfig()
     if panoc_cfg is None:

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 
-from mpc_tpu.models.params import VehicleParams
+from mpc_tpu.models.params import PARAM_FIELDS, VehicleParams
 from mpc_tpu.ops.costs import DEFAULT_VEHICLE_WEIGHTS, vehicle_stage_cost
 from mpc_tpu.ops.road import wrap_to_pi
 
@@ -238,10 +238,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+#: fields threaded into the kernel param vector — the canonical 22 plus the
+#: kinematic-model extras (friction/acceleration, reference dynamics.py:34-35)
+_KERNEL_PARAM_FIELDS = PARAM_FIELDS + ("friction", "acceleration")
+
+
+def _params_to_kernel_vec(p: VehicleParams) -> jnp.ndarray:
+    """(1, 24) runtime parameter operand for the Pallas kernel."""
+    return jnp.stack([jnp.asarray(getattr(p, f), jnp.float32)
+                      for f in _KERNEL_PARAM_FIELDS])[None]
+
+
+def _params_from_kernel_vec(pv) -> VehicleParams:
+    return VehicleParams(**{f: pv[i]
+                            for i, f in enumerate(_KERNEL_PARAM_FIELDS)})
+
+
 def _eval_pallas(u_flat, y0b, cltab, p, cfg, block_e: int, al_ls=None):
     """One Pallas kernel per E-block: full rollout + cost + reverse sweep in
     VMEM. Same math as :func:`_eval_xla` (the kernel body traces the identical
-    jnp program, including ``jax.grad``)."""
+    jnp program, including ``jax.grad``). The runtime physical parameters are
+    threaded into the kernel as a (1, 24) operand — the kernel honours the
+    ``p`` argument exactly like the XLA backend."""
     cfg = dict(cfg, unroll=cfg["n_horiz"])   # kernels must not contain scan
     E, n = u_flat.shape
     sd = y0b.shape[1]
@@ -255,21 +273,25 @@ def _eval_pallas(u_flat, y0b, cltab, p, cfg, block_e: int, al_ls=None):
         operands = [jnp.pad(a, ((0, E_pad - E), (0, 0)), mode="edge")
                     for a in operands]
     operands.append(cltab)
+    pvec = _params_to_kernel_vec(p)
+    operands.append(pvec)
     m = operands[2].shape[1] if al_ls is not None else 0
 
     def kernel(*refs):
         # Read every operand into values first — the differentiated closure
         # must be a pure function of arrays, not of Refs.
         if al_ls is not None:
-            u_ref, y0_ref, lam_ref, sig_ref, cl_ref, psi_ref, grad_ref = refs
+            (u_ref, y0_ref, lam_ref, sig_ref, cl_ref, p_ref,
+             psi_ref, grad_ref) = refs
             al = (lam_ref[:], sig_ref[:], offs, d_lo, d_up)
         else:
-            u_ref, y0_ref, cl_ref, psi_ref, grad_ref = refs
+            u_ref, y0_ref, cl_ref, p_ref, psi_ref, grad_ref = refs
             al = None
         y0v, clv = y0_ref[:], cl_ref[:]
+        p_run = _params_from_kernel_vec(p_ref[0, :])
 
         def total(u):
-            return _batched_total_cost(u, y0v, clv, p, al=al, **cfg)
+            return _batched_total_cost(u, y0v, clv, p_run, al=al, **cfg)
 
         grad, psi = jax.grad(total, has_aux=True)(u_ref[:])
         psi_ref[:] = psi[:, None]
@@ -284,6 +306,7 @@ def _eval_pallas(u_flat, y0b, cltab, p, cfg, block_e: int, al_ls=None):
         in_specs += [pl.BlockSpec((block_e, m), lambda i: (i, 0)),
                      pl.BlockSpec((block_e, m), lambda i: (i, 0))]
     in_specs.append(pl.BlockSpec(cltab.shape, lambda i: (0, 0)))
+    in_specs.append(pl.BlockSpec(pvec.shape, lambda i: (0, 0)))
 
     psi, grad = pl.pallas_call(
         kernel,
@@ -320,10 +343,10 @@ def make_vehicle_cost_multi(n_horiz: int, ts: float = 0.05, substeps: int = 4,
     batched rollout; under ``vmap`` over scenarios the fused batched backend
     evaluates all (scenario x candidate) points in one pass.
 
-    The Pallas backend embeds the physical constants statically (a Pallas
-    kernel cannot close over traced scalars): it uses ``params`` (default
-    ``VehicleParams()``), ignoring the runtime values in the ``p`` argument —
-    callers with non-default physics must pass them here.
+    Both backends honour the runtime ``p`` argument; the Pallas kernel
+    receives the physical constants as a (1, 24) operand
+    (``_params_to_kernel_vec``). ``params`` is kept for API compatibility
+    and ignored.
     """
     if backend not in ("xla", "pallas"):
         raise ValueError(f"unknown fused backend {backend!r}: "
@@ -335,12 +358,10 @@ def make_vehicle_cost_multi(n_horiz: int, ts: float = 0.05, substeps: int = 4,
                h=ts / substeps, substeps=substeps, v_ref=v_ref,
                weights=tuple(weights), unroll=unroll)
 
-    p_static = params if params is not None else VehicleParams()
-
     def _fused(cands_flat, y0b, centerline, p):
         cltab = make_cltab(centerline)
         if backend == "pallas":
-            return _eval_pallas(cands_flat, y0b, cltab, p_static, cfg, block_e)
+            return _eval_pallas(cands_flat, y0b, cltab, p, cfg, block_e)
         return _eval_xla(cands_flat, y0b, cltab, p, cfg)
 
     @custom_vmap
@@ -403,13 +424,12 @@ def make_vehicle_al_multi(n_horiz: int, offsets, d_lo, d_up,
     offsets = np.asarray(offsets, np.float32)
     d_lo = np.asarray(d_lo, np.float32)
     d_up = np.asarray(d_up, np.float32)
-    p_static = params if params is not None else VehicleParams()
 
     def _fused(cands_flat, y0b, centerline, p, lam2, sigma2):
         cltab = make_cltab(centerline)
         al_ls = (lam2, sigma2, offsets, d_lo, d_up)
         if backend == "pallas":
-            return _eval_pallas(cands_flat, y0b, cltab, p_static, cfg,
+            return _eval_pallas(cands_flat, y0b, cltab, p, cfg,
                                 block_e, al_ls=al_ls)
         return _eval_xla(cands_flat, y0b, cltab, p, cfg, al_ls=al_ls)
 

@@ -89,11 +89,19 @@ def safe_distances(ego_state, obs_state):
     return x_s, y_s
 
 
-def obstacle_stage_cost(x_state, obs_x, obs_y, obs_phi, obs_v,
-                        weight: float = 1.0):
-    """Differentiable obstacle-avoidance term for the vehicle stage cost:
-    evaluates the risk field at the vehicle pose (state ``[x, y, phi, vx,
-    vy, omega]``). The reference never closed this loop; here it plugs
-    straight into ``build_vehicle_ocp`` via an extra cost term."""
-    return weight * obstacle_field(x_state[0], x_state[1], x_state[2],
-                                   x_state[3], obs_x, obs_y, obs_phi, obs_v)
+def obstacle_stage_cost(x_state, obstacles, weight: float = 1.0,
+                        a_f: float = 10.0, sigma_x: float = 0.2,
+                        sigma_y: float = 0.1):
+    """Differentiable obstacle-avoidance term for the vehicle stage cost.
+
+    Evaluates the risk field at the vehicle pose (state ``[x, y, phi, vx,
+    vy, omega]``) against ``obstacles`` of shape (K, 4) rows ``[x, y, phi,
+    v]`` (the ScenarioBatch layout). The reference's field (dpf_test.py:
+    81-102) is visualization-only and road-scale (sigma_x=2 m); the defaults
+    here are rescaled to the 1:43 RC-car world (0.1 m road spacing) so the
+    field actually steers the OCP. Wired into ``build_vehicle_ocp`` via
+    ``obstacle_weight`` (control/mpc.py)."""
+    return weight * obstacle_field(
+        x_state[0], x_state[1], x_state[2], x_state[3],
+        obstacles[:, 0], obstacles[:, 1], obstacles[:, 2], obstacles[:, 3],
+        a_f=a_f, sigma_x=sigma_x, sigma_y=sigma_y)

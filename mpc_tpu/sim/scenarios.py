@@ -102,12 +102,107 @@ def random_scenarios(key, batch: int, size: int = 100,
 def run_scenario_suite(controller: MpcController, f_d, scenarios: ScenarioBatch,
                        params, n_sim: int) -> ClosedLoopOut:
     """Roll every scenario end-to-end: vmap of the scan closed loop, each
-    lane carrying its own centerline."""
+    lane carrying its own centerline (and, when the controller's OCP has the
+    obstacle field term, its own obstacle set — BASELINE config #5's
+    'road/obstacle scenarios')."""
+    if controller.problem.uses_obstacles:
+        def one(y0, cl, obs):
+            return run_closed_loop(
+                controller, f_d, y0,
+                {"p": params, "centerline": cl, "obstacles": obs},
+                n_sim, params)
+        return jax.jit(jax.vmap(one))(scenarios.y0, scenarios.centerline,
+                                      scenarios.obstacles)
+
     def one(y0, cl):
         return run_closed_loop(controller, f_d, y0,
                                {"p": params, "centerline": cl}, n_sim, params)
 
     return jax.jit(jax.vmap(one))(scenarios.y0, scenarios.centerline)
+
+
+def run_scenario_suite_two_tier(controller: MpcController,
+                                controller_cheap: MpcController, f_d,
+                                scenarios: ScenarioBatch, params, n_sim: int,
+                                straggler_pad: int = 64):
+    """Suite rollout with two-tier solving to kill worst-lane variance.
+
+    A batched ``lax.scan`` closed loop runs every lane in lockstep: each MPC
+    step costs the MAX iteration count over the batch, so on randomized
+    scenarios a handful of hard lanes tax every easy lane (measured 33x
+    collapse vs the uniform-scenario headline, PERF.md round 1). Two tiers:
+
+    1. *cheap pass* — one batched step through ``controller_cheap`` (same
+       OCP, low iteration caps): bounded wall-clock per step;
+    2. *straggler pass* — lanes whose cheap solve failed are compacted on
+       host into a dense batch (padded to ``straggler_pad`` to bound
+       recompilation shapes) and re-solved through ``controller`` (full
+       budget), then scattered back.
+
+    With ~1-5% stragglers the full-budget program runs on a 64-lane batch
+    instead of 2048, so the expensive tail no longer multiplies by the
+    batch. Returns ``(state, conv)`` like the resumable suite: final plant
+    states + carries, and the (B, n_sim) per-step convergence after both
+    tiers. Both controllers must share the same Problem structure.
+    """
+    import numpy as np
+
+    use_obs = controller.problem.uses_obstacles
+    b = scenarios.y0.shape[0]
+    carry0 = jax.vmap(lambda _: controller.init_carry())(jnp.arange(b))
+
+    def _param(y, cl, obs):
+        param = {"y0": y, "p": params, "centerline": cl}
+        if use_obs:
+            param["obstacles"] = obs
+        return param
+
+    @jax.jit
+    def cheap_step(ys, carries, cls, obss):
+        def one(y, carry, cl, obs):
+            out = controller_cheap.step(carry, _param(y, cl, obs))
+            return f_d(y, out.u0, params), out.carry, out.result.converged
+        return jax.vmap(one)(ys, carries, cls, obss)
+
+    @jax.jit
+    def full_step(ys, carries, cls, obss):
+        def one(y, carry, cl, obs):
+            out = controller.step(carry, _param(y, cl, obs))
+            return f_d(y, out.u0, params), out.carry, out.result.converged
+        return jax.vmap(one)(ys, carries, cls, obss)
+
+    ys = scenarios.y0
+    carries = carry0
+    obss = scenarios.obstacles
+    cls = scenarios.centerline
+    convs = []
+    for _ in range(n_sim):
+        prev_carries = carries
+        ys2, carries, conv = cheap_step(ys, carries, cls, obss)
+        conv_np = np.asarray(conv)
+        bad = np.flatnonzero(~conv_np)
+        if bad.size:
+            # pad the straggler batch to a fixed grid of sizes so the full
+            # solver compiles for at most log(b/straggler_pad) shapes
+            k = straggler_pad
+            while k < bad.size:
+                k *= 2
+            idx = np.resize(bad, k)                     # repeat-pad
+            idx_j = jnp.asarray(idx)
+            sel = lambda a: jax.tree_util.tree_map(lambda x: x[idx_j], a)
+            ys_r, car_r, conv_r = full_step(
+                sel(ys), sel(prev_carries), cls[idx_j], obss[idx_j])
+            # scatter back only the genuine (non-pad) lanes
+            genuine = jnp.asarray(bad)
+            take = jnp.arange(bad.size)
+            scatter = lambda dst, src: jax.tree_util.tree_map(
+                lambda d, s: d.at[genuine].set(s[take]), dst, src)
+            ys2 = ys2.at[genuine].set(ys_r[take])
+            carries = scatter(carries, car_r)
+            conv_np[bad] = np.asarray(conv_r[take])
+        ys = ys2
+        convs.append(conv_np)
+    return {"ys": ys, "carries": carries}, np.stack(convs, axis=1)
 
 
 def run_scenario_suite_resumable(controller: MpcController, f_d,
@@ -133,24 +228,29 @@ def run_scenario_suite_resumable(controller: MpcController, f_d,
         state, step0 = load_checkpoint(checkpoint_path, state)
         state = jax.tree_util.tree_map(jnp.asarray, state)
 
+    use_obs = controller.problem.uses_obstacles
+
     @jax.jit
-    def run_segment(ys, carries, cls):
-        def one(y, carry, cl):
+    def run_segment(ys, carries, cls, obss):
+        def one(y, carry, cl, obs):
             def scan_step(sc, _):
                 y_, c_ = sc
-                out = controller.step(c_, {"y0": y_, "p": params,
-                                           "centerline": cl})
+                param = {"y0": y_, "p": params, "centerline": cl}
+                if use_obs:
+                    param["obstacles"] = obs
+                out = controller.step(c_, param)
                 return (f_d(y_, out.u0, params), out.carry), out.result.converged
             (y2, c2), conv = jax.lax.scan(scan_step, (y, carry), None,
                                           length=segment)
             return y2, c2, conv
-        return jax.vmap(one)(ys, carries, cls)
+        return jax.vmap(one)(ys, carries, cls, obss)
 
     convs = []
     step = step0
     while step < n_sim:
         ys, carries, conv = run_segment(state["ys"], state["carries"],
-                                        scenarios.centerline)
+                                        scenarios.centerline,
+                                        scenarios.obstacles)
         jax.block_until_ready(ys)
         state = {"ys": ys, "carries": carries}
         convs.append(np.asarray(conv))

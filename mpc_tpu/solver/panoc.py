@@ -104,6 +104,20 @@ def lbfgs_direction(st: LbfgsState, q: jnp.ndarray) -> jnp.ndarray:
 # PANOC
 # ---------------------------------------------------------------------------
 
+class PanocTrace(NamedTuple):
+    """Optional per-iterate history (``PanocConfig.trace=True``).
+
+    Fixed-size buffers of length ``max_iter`` (static — jit/vmap/scan safe);
+    rows past ``iterations`` keep NaN. The TPU-native replacement for
+    alpaqa's streaming progress callback (reference: controller.py:23-24,38)
+    — debugging a divergent lane means reading its buffer instead of
+    grepping prints.
+    """
+    psi: jnp.ndarray        # (max_iter,) objective per iterate
+    criterion: jnp.ndarray  # (max_iter,) ||r||/gamma per iterate
+    gamma: jnp.ndarray      # (max_iter,) step size per iterate
+
+
 class PanocResult(NamedTuple):
     u: jnp.ndarray
     psi: jnp.ndarray
@@ -111,6 +125,7 @@ class PanocResult(NamedTuple):
     iterations: jnp.ndarray
     criterion: jnp.ndarray   # final ||r||/gamma (ProjGradNorm2)
     gamma: jnp.ndarray       # final step size — warm-start carry
+    trace: Any = None        # PanocTrace when cfg.trace, else None
 
 
 class _State(NamedTuple):
@@ -123,6 +138,9 @@ class _State(NamedTuple):
     converged: jnp.ndarray
     criterion: jnp.ndarray
     stalled: jnp.ndarray     # consecutive iterations with zero movement
+    best_crit: jnp.ndarray   # best criterion seen (plateau detection)
+    plateau: jnp.ndarray     # consecutive iterations without a new best
+    trace: Any = None        # PanocTrace buffers when enabled
 
 
 def _tree_where(pred, a, b):
@@ -132,7 +150,8 @@ def _tree_where(pred, a, b):
 
 def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
                       C: Box, cfg: PanocConfig,
-                      psi_vg_multi: Callable = None) -> Callable:
+                      psi_vg_multi: Callable = None,
+                      progress_callback: Callable = None) -> Callable:
     """Build ``solve(u0, tol, args) -> PanocResult``.
 
     ``psi_vg(u, args) -> (psi, grad)`` is the value-and-gradient of the smooth
@@ -140,6 +159,10 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
     ``psi_vg_multi(cands (K, n), args) -> ((K,), (K, n))``, when given,
     replaces ``vmap(psi_vg)`` for the per-iteration candidate fan — the hook
     for the fused batched evaluator (ops/fused_psi.py).
+    ``progress_callback(iteration, psi, criterion, gamma)``, when given, is
+    streamed per inner iterate via ``jax.debug.callback`` — the direct
+    analogue of alpaqa's progress callback (reference: controller.py:23-24),
+    for interactive debugging; prefer ``cfg.trace`` in compiled sweeps.
     The returned ``solve`` is jit-able and vmap-able over ``(u0, args)``.
     """
     cand_vg = psi_vg_multi if psi_vg_multi is not None \
@@ -166,11 +189,20 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
         gamma0 = jnp.asarray(cfg.alpha, dtype) / L0
         if gamma_init is not None:
             # Warm-started step size (MPC steady state): positive entries
-            # override the estimate; non-positive (cold) lanes keep it. A
-            # stale-large gamma self-corrects through the quadratic-upper-
-            # bound check below.
-            gamma0 = jnp.where(gamma_init > 0, gamma_init.astype(dtype), gamma0)
+            # override the estimate; non-positive (cold) lanes keep it.
+            # Clipped against the fresh estimate: a carried gamma can only
+            # ever shrink inside the loop (QUB halving), so without the
+            # lower clip one hard transient would depress the step size for
+            # the rest of a rollout; above the fresh estimate it is stale
+            # (the QUB check would just re-halve it back down).
+            g_warm = jnp.clip(gamma_init.astype(dtype),
+                              gamma0 / 64.0, gamma0)
+            gamma0 = jnp.where(gamma_init > 0, g_warm, gamma0)
 
+        tr0 = None
+        if cfg.trace:
+            nanbuf = jnp.full((cfg.max_iter,), jnp.nan, dtype)
+            tr0 = PanocTrace(psi=nanbuf, criterion=nanbuf, gamma=nanbuf)
         st0 = _State(
             u=u0, psi=psi0, grad=g0, gamma=gamma0,
             lbfgs=lbfgs_init(cfg.lbfgs_memory, u0.shape[0], dtype),
@@ -178,13 +210,20 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
             converged=jnp.zeros((), bool),
             criterion=jnp.full((), jnp.inf, dtype),
             stalled=jnp.zeros((), jnp.int32),
+            best_crit=jnp.full((), jnp.inf, dtype),
+            plateau=jnp.zeros((), jnp.int32),
+            trace=tr0,
         )
 
         def cond(st: _State):
-            # A lane exits when converged, out of budget, or numerically
+            # A lane exits when converged, out of budget, numerically
             # stalled (iterates stopped moving at the float32 floor — no
-            # further progress is representable).
-            return (~st.converged) & (st.iters < cfg.max_iter) & (st.stalled < 3)
+            # further progress is representable), or plateaued (criterion
+            # stopped improving: the fan keeps nudging iterates by an ulp so
+            # the stall detector alone misses f32-floor lanes, which would
+            # otherwise spin at max_iter).
+            return (~st.converged) & (st.iters < cfg.max_iter) \
+                & (st.stalled < 3) & (st.plateau < cfg.plateau_iters)
 
         def body(st: _State) -> _State:
             u, psi_u, g_u, gamma = st.u, st.psi, st.grad, st.gamma
@@ -195,6 +234,16 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
             rn2 = jnp.dot(r, r)
             crit = jnp.sqrt(rn2) / gamma
             conv_now = crit <= tol
+
+            tr = st.trace
+            if cfg.trace:
+                tr = PanocTrace(
+                    psi=tr.psi.at[st.iters].set(psi_u),
+                    criterion=tr.criterion.at[st.iters].set(crit),
+                    gamma=tr.gamma.at[st.iters].set(gamma))
+            if progress_callback is not None:
+                jax.debug.callback(progress_callback, st.iters, psi_u, crit,
+                                   gamma)
 
             # Structured step (the 'Structured' in alpaqa's
             # StructuredPANOCLBFGSSolver): quasi-Newton only on the FREE
@@ -217,7 +266,10 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
             # The comparison differences two nearly equal float32 values, so
             # allow ~10x the f32 rounding floor of the operands — otherwise
             # pure noise triggers spurious gamma halving that flushes the
-            # L-BFGS history and stalls the solver.
+            # L-BFGS history and stalls the solver. (The margin deliberately
+            # does NOT model the full evaluation noise of a stiff augmented
+            # Lagrangian — penalties must be chosen f32-appropriately
+            # instead; see AlmConfig.sigma_0 notes.)
             eps_f = jnp.asarray(jnp.finfo(dtype).eps, dtype)
             margin = 10.0 * eps_f * (jnp.abs(psi_u) + jnp.abs(psi_hat)) + 1e-12
             qub_rhs = psi_u - jnp.dot(g_u, r) + rn2 / (2.0 * gamma) + margin
@@ -240,26 +292,45 @@ def make_panoc_solver(psi_vg: Callable[[jnp.ndarray, Any], tuple],
                 u=u_n, psi=psi_n, grad=g_n, lbfgs=lb_n,
                 stalled=jnp.where(moved, 0, st.stalled + 1))
 
+            improved = crit < st.best_crit * 0.999
             st_new = _tree_where(gamma_ok, st_step, st_shrink)
             st_new = st_new._replace(
                 iters=st.iters + 1,
                 criterion=jnp.minimum(st.criterion, crit),
+                best_crit=jnp.minimum(st.best_crit, crit),
+                plateau=jnp.where(improved, 0, st.plateau + 1),
+                trace=tr,
             )
             # Freeze the lane once converged (batch-safe under vmap).
-            st_done = st._replace(converged=jnp.ones((), bool), criterion=crit)
+            st_done = st._replace(converged=jnp.ones((), bool), criterion=crit,
+                                  trace=tr)
             return _tree_where(conv_now, st_done, st_new)
 
         st = jax.lax.while_loop(cond, body, st0)
 
-        # Final criterion refresh (covers the max_iter exit path).
+        # Final criterion refresh (covers the max_iter/stagnation exits).
         u_hat = project(st.u - st.gamma * st.grad, C)
         crit = jnp.linalg.norm(st.u - u_hat) / st.gamma
+        # f32-aware stagnation acceptance: computing r = u - P(u - gamma*g)
+        # carries an elementwise rounding floor of ~eps_f32*|u|, so
+        # ||r||/gamma cannot reliably go below ~eps_f32*||u||/gamma. A lane
+        # that exited because its iterates stopped moving (stalled) AND sits
+        # within that floor has found the best f32-representable solution —
+        # count it converged instead of failing a tolerance that only exists
+        # in f64 (alpaqa's eps=1e-6, controller.py:41, is an f64 number).
+        # Lanes that stalled far above the floor stay failures.
+        eps_f32 = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+        floor = cfg.crit_floor_mult * eps_f32 \
+            * (1.0 + jnp.linalg.norm(st.u)) / st.gamma
+        exhausted = (st.stalled >= 3) | (st.plateau >= cfg.plateau_iters)
+        at_floor = exhausted & (crit <= floor)
         return PanocResult(
             u=st.u, psi=st.psi,
-            converged=st.converged | (crit <= tol),
+            converged=st.converged | (crit <= tol) | at_floor,
             iterations=st.iters,
             criterion=crit,
             gamma=st.gamma,
+            trace=st.trace,
         )
 
     return solve

@@ -75,6 +75,9 @@ class Problem:
     # Fused augmented-Lagrangian variant for the general-constraint path:
     # (cands (K, n), param, lam (m,), sigma (m,)) -> (psi (K,), grad (K, n)).
     al_multi: Optional[Callable] = None
+    # Static marker: cost consumes param["obstacles"] (K, 4) — suite drivers
+    # use it to decide whether to thread ScenarioBatch.obstacles through.
+    uses_obstacles: bool = False
 
     def cost_grad(self):
         """Value-and-gradient of the plain cost (CasADi-autodiff replacement)."""

@@ -42,9 +42,14 @@ def test_config1_kinematic_bicycle_n20():
 def test_config2_dynamic_bicycle_bezier_n40_state_constraints():
     pts = lane_change_control_points(5.0).control_points * 0.01
     cl = bezier_centerline(pts, size=100)
+    # sigma_0 = 1e3, not the reference's 1e5 (controller.py:42): the penalty
+    # scale must fit f32 — at sigma ~ 1e5 the AL evaluation noise exceeds
+    # the QUB margin and gamma collapses below the representable criterion
+    # floor (see solver/panoc.py, AlmConfig notes).
     ctrl = build_vehicle_controller(
         n_horiz=40, bound_state_constraints=True,
-        alm_cfg=AlmConfig(eps=1e-3, delta=1e-3, max_iter=8, eps_0=1e-2),
+        alm_cfg=AlmConfig(eps=1e-3, delta=1e-3, max_iter=8, eps_0=1e-2,
+                          sigma_0=1e3),
         panoc_cfg=PanocConfig(lbfgs_memory=40, max_iter=150))
     assert ctrl.problem.m == 6 * 40
     assert ctrl.problem.D.is_bounded

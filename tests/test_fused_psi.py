@@ -100,6 +100,30 @@ def test_fused_pallas_interpret_matches_xla():
     np.testing.assert_allclose(grad_p, grad_x, rtol=2e-4, atol=2e-5)
 
 
+def test_fused_pallas_interpret_gradient_parity_minimal():
+    # Non-slow guard for the AD-fragile Pallas gradient path (kernels run
+    # fully unrolled; scan gradients are wrong inside kernels): the smallest
+    # possible configuration, interpret mode, asserting psi AND grad parity.
+    # Uses NON-default physical params to pin the runtime-param operand —
+    # the kernel must honour the passed ``p``, not build-time constants.
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_horiz = 2
+    cl = straight_centerline(12)
+    rng = np.random.default_rng(4)
+    cands, y0 = _rand_setup(rng, 1, 1, n_horiz, 6)
+    p_run = dataclasses.replace(PARAMS, mass=0.25, cm1=0.4)
+
+    xla = make_vehicle_cost_multi(n_horiz, substeps=1, backend="xla")
+    pal = make_vehicle_cost_multi(n_horiz, substeps=1, backend="pallas",
+                                  block_e=1)
+    psi_x, grad_x = xla(cands[0], y0[0], cl, p_run)
+    with pltpu.force_tpu_interpret_mode():
+        psi_p, grad_p = pal(cands[0], y0[0], cl, p_run)
+    np.testing.assert_allclose(psi_p, psi_x, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(grad_p, grad_x, rtol=2e-4, atol=2e-5)
+
+
 def test_fused_al_matches_per_lane():
     # Augmented-Lagrangian variant vs the per-lane AL built from
     # problem.cost/constraints (solver/alm.py psi_vg).

@@ -76,6 +76,7 @@ def test_obstacle_cost_is_differentiable():
     ox = jnp.asarray([1.0]); oy = jnp.asarray([0.1])
     op = jnp.asarray([0.0]); ov = jnp.asarray([0.5])
     x = jnp.array([0.0, 0.0, 0.0, 1.0, 0.0, 0.0])
-    g = jax.grad(lambda s: obstacle_stage_cost(s, ox, oy, op, ov))(x)
+    obs = jnp.stack([ox, oy, op, ov], axis=1)
+    g = jax.grad(lambda s: obstacle_stage_cost(s, obs))(x)
     assert np.all(np.isfinite(np.asarray(g)))
     assert abs(float(g[0])) > 0  # moving toward the obstacle changes risk

@@ -84,6 +84,31 @@ def test_resumable_suite_matches_straight_run(tmp_path):
     assert conv.shape == (4, 8)
 
 
+@pytest.mark.slow
+def test_two_tier_suite_recovers_stragglers():
+    from mpc_tpu.sim.scenarios import run_scenario_suite_two_tier
+
+    # cheap tier deliberately starved (max_iter=8) so some lanes fail and
+    # the straggler pass must rescue them
+    cheap = build_vehicle_controller(
+        n_horiz=8, alm_cfg=AlmConfig(eps=1e-3),
+        panoc_cfg=PanocConfig(lbfgs_memory=8, max_iter=8))
+    full = build_vehicle_controller(
+        n_horiz=8, alm_cfg=AlmConfig(eps=1e-3),
+        panoc_cfg=PanocConfig(lbfgs_memory=8, max_iter=120))
+    f_d = discretize(pacejka_dynamics)
+    sc = random_scenarios(jax.random.PRNGKey(3), batch=8, size=100)
+
+    state, conv = run_scenario_suite_two_tier(
+        full, cheap, f_d, sc, VehicleParams(), 5, straggler_pad=4)
+    assert conv.shape == (8, 5)
+    # after the rescue pass, convergence must be (near-)total, and the
+    # cheap-only pass alone must NOT have been sufficient (else the test
+    # exercises nothing)
+    assert conv.mean() > 0.95
+    assert np.isfinite(np.asarray(state["ys"])).all()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tree = {"ys": jnp.arange(12.0).reshape(3, 4),
             "carry": (jnp.zeros(5), jnp.asarray(3))}
@@ -94,6 +119,21 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(loaded["ys"]),
                                   np.asarray(tree["ys"]))
     np.testing.assert_array_equal(np.asarray(loaded["carry"][0]), np.zeros(5))
+
+
+def test_checkpoint_incompatible_structure_rejected(tmp_path):
+    # a checkpoint written before a pytree gained a field must fail loudly,
+    # not mis-assign leaves positionally
+    old = {"ys": jnp.zeros((3, 4)), "carry": (jnp.zeros(5),)}
+    new = {"ys": jnp.zeros((3, 4)), "carry": (jnp.zeros(5), jnp.zeros(5))}
+    p = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(p, old, step=3)
+    with pytest.raises(ValueError, match="incompatible checkpoint"):
+        load_checkpoint(p, new)
+    # same structure, wrong shape -> also rejected with the leaf named
+    bad_shape = {"ys": jnp.zeros((3, 5)), "carry": (jnp.zeros(5),)}
+    with pytest.raises(ValueError, match="shape/dtype"):
+        load_checkpoint(p, bad_shape)
 
 
 def test_step_metrics_summary():
