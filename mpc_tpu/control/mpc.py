@@ -66,6 +66,15 @@ class MpcController:
     input_dim: int
     warm_start_input: tuple            # repeated per stage for the initial U
     sigma_0: float = 1e5               # initial ALM penalty for the carry
+    # Shift the warm start by one stage before each solve (repeat the last
+    # stage): the plant advanced one step since the previous solve, so the
+    # tail of the old plan is a far better initial guess than the unshifted
+    # plan. The reference never shifts (controller.py:57 reuses U verbatim);
+    # shifting is the standard RTI/MPC trick and measurably cuts PANOC
+    # iterations in steady state. ``constraints_per_stage`` (stage-major g
+    # layout) lets lam/sigma shift along with U; 0 disables their shift.
+    shift_warm_start: bool = False
+    constraints_per_stage: int = 0
 
     def init_carry(self, dtype=jnp.float32) -> MpcCarry:
         U0 = jnp.tile(jnp.asarray(self.warm_start_input, dtype), self.n_horiz)
@@ -85,8 +94,16 @@ class MpcController:
         model params ``p``, road, ...). Returns the updated warm-start carry,
         the first input of the optimal sequence (main.py:140-141), and stats.
         """
-        res = self.solve(param, carry.U, carry.lam, sigma0=carry.sigma,
-                         gamma0=carry.gamma)
+        U0, lam0, sigma0 = carry.U, carry.lam, carry.sigma
+        if self.shift_warm_start:
+            d = self.input_dim
+            U0 = jnp.concatenate([U0[d:], U0[-d:]])
+            ns = self.constraints_per_stage
+            if ns and self.problem.m:
+                # stage-major g layout: drop stage 0, repeat the last stage
+                lam0 = jnp.concatenate([lam0[ns:], lam0[-ns:]])
+                sigma0 = jnp.concatenate([sigma0[ns:], sigma0[-ns:]])
+        res = self.solve(param, U0, lam0, sigma0=sigma0, gamma0=carry.gamma)
         # Failure recovery: a non-converged solve leaves sigma/gamma in
         # whatever corner it diverged into — carrying them forward compounds
         # the failure across the rollout. Reset those lanes to the cold
@@ -263,8 +280,8 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
                              fused_block_e: int = 256,
                              unroll: Optional[int] = None,
                              obstacle_weight: float = 0.0,
-                             obstacle_field_kwargs: Optional[dict] = None
-                             ) -> MpcController:
+                             obstacle_field_kwargs: Optional[dict] = None,
+                             shift_warm_start: bool = False) -> MpcController:
     """Vehicle MPC controller with the reference's solver configuration.
 
     Warm start ``U = tile([1, 0], N)`` (controller.py:20); L-BFGS memory =
@@ -285,4 +302,6 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
     solve = make_alm_solver(problem, alm_cfg, panoc_cfg)
     return MpcController(problem=problem, solve=solve, n_horiz=n_horiz,
                          input_dim=2, warm_start_input=(1.0, 0.0),
-                         sigma_0=alm_cfg.sigma_0)
+                         sigma_0=alm_cfg.sigma_0,
+                         shift_warm_start=shift_warm_start,
+                         constraints_per_stage=6 if problem.m else 0)

@@ -71,13 +71,22 @@ def build_ms_ocp_problem(f_d: Callable, stage_cost: Callable, n_horiz: int,
                          n_stage_constraints: int = 0,
                          D_stage: Optional[Box] = None,
                          param_prep: Optional[Callable] = None,
-                         unroll: Optional[int] = None):
+                         unroll: Optional[int] = None,
+                         state_bound: Optional[jnp.ndarray] = None):
     """Assemble a multiple-shooting Problem.
 
     Same conventions as build_ocp_problem (stage cost/constraints applied to
     post-input states; param dict with 'y0' and 'p'); returns
     ``(Problem, MsLayout)``. The defect equalities are appended after the
     per-stage constraints in g / D.
+
+    ``state_bound`` (state_dim,), when given, boxes the intermediate segment
+    start states ``|X_k| <= state_bound`` inside C. Essential in practice:
+    unbounded X_k let the inner solver wander the rollout into regions where
+    the dynamics blow up (Pacejka forces diverge at large vx), after which
+    the augmented Lagrangian's gradients are garbage and the defect penalty
+    spiral never recovers. Any bound that safely contains the reachable set
+    works — box projection is free in PANOC.
     """
     if n_horiz % n_segments:
         raise ValueError(f"horizon {n_horiz} not divisible by {n_segments}")
@@ -125,12 +134,13 @@ def build_ms_ocp_problem(f_d: Callable, stage_cost: Callable, n_horiz: int,
             return jnp.concatenate([g.reshape(-1), defects])
         return defects
 
-    inf = jnp.inf
+    if state_bound is None:
+        xb = jnp.full((lo.n_states,), jnp.inf, jnp.float32)
+    else:
+        xb = jnp.tile(jnp.asarray(state_bound, jnp.float32), lo.n_segments - 1)
     C = Box(
-        lower=jnp.concatenate([C_inputs.lower,
-                               jnp.full((lo.n_states,), -inf, jnp.float32)]),
-        upper=jnp.concatenate([C_inputs.upper,
-                               jnp.full((lo.n_states,), inf, jnp.float32)]),
+        lower=jnp.concatenate([C_inputs.lower, -xb]),
+        upper=jnp.concatenate([C_inputs.upper, xb]),
     )
     zeros = jnp.zeros((n_defects,), jnp.float32)
     if stage_constraints is not None:
