@@ -32,6 +32,20 @@ class PanocConfig:
     taus: tuple = (1.0, 0.25, 1.0 / 16.0, 1.0 / 64.0)
     gamma_min: float = 1e-12
     max_gamma_backtracks: int = 60   # implicit via gamma_min; kept for clarity
+    # Trust-region cap on the L-BFGS direction: ||d|| <= tr_mult * ||r||.
+    # A healthy quasi-Newton direction scales with the residual times the
+    # Hessian conditioning; directions far beyond that come from f32-noise
+    # curvature pairs and the parallel line search's FBE merit is not
+    # trustworthy that far from the iterate (solver/panoc.py).
+    tr_mult: float = 1e5
+    # Noise floor for L-BFGS curvature pairs: a pair whose step norm is
+    # below lbfgs_min_step_mult * eps_f32 * (1 + ||u||) is f32 rounding
+    # noise, not curvature (rho = 1/(s.y) explodes on it); skipped in
+    # lbfgs_push. 0 (default) disables: the tr_mult direction cap already
+    # contains noise-poisoned directions, and rejecting near-floor pairs
+    # was measured to cost 3.4x worst-lane iterations on the warm-started
+    # headline bench (fine steady-state refinements ARE near the floor).
+    lbfgs_min_step_mult: float = 0.0
     # The ProjGradNorm2 criterion ||r||/gamma has an f32 rounding floor of
     # ~eps_f32*||u||/gamma. A lane that exits via the stagnation/plateau
     # path (iterates stopped moving, or the criterion stopped improving for

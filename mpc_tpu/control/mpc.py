@@ -66,18 +66,28 @@ class MpcController:
     input_dim: int
     warm_start_input: tuple            # repeated per stage for the initial U
     sigma_0: float = 1e5               # initial ALM penalty for the carry
-    # Shift the warm start by one stage before each solve (repeat the last
-    # stage): the plant advanced one step since the previous solve, so the
-    # tail of the old plan is a far better initial guess than the unshifted
-    # plan. The reference never shifts (controller.py:57 reuses U verbatim);
-    # shifting is the standard RTI/MPC trick and measurably cuts PANOC
-    # iterations in steady state. ``constraints_per_stage`` (stage-major g
-    # layout) lets lam/sigma shift along with U; 0 disables their shift.
-    shift_warm_start: bool = False
-    constraints_per_stage: int = 0
+    # NOTE on warm-start shifting (the standard RTI/MPC trick of rotating
+    # the previous plan by one stage): implemented and MEASURED in round 3 —
+    # it does not reduce iterations with this solver (straight road: 378 vs
+    # 335 total PANOC iterations over 20 steps; circle: 2863 vs 2850 with
+    # more failures), because the carried sigma/gamma correspond to the
+    # unshifted point and the re-estimate costs more than the shifted guess
+    # saves. Removed rather than shipped as an unvalidated flag; the
+    # reference also reuses U verbatim (controller.py:57).
+    #
+    # Decision vectors larger than the input sequence (multiple shooting:
+    # z = [U; X_1..X_{M-1}]) are supported via ``n_extra`` tail entries
+    # (zero-initialized) and ``warm_prep``, a traced hook
+    # ``(z, param, cold) -> z`` applied before each solve — e.g. rolling
+    # the input sequence out to seed feasible segment-start states on cold
+    # lanes (solver/multiple_shooting.py:ms_warm_start).
+    n_extra: int = 0
+    warm_prep: Optional[Callable] = None
 
     def init_carry(self, dtype=jnp.float32) -> MpcCarry:
         U0 = jnp.tile(jnp.asarray(self.warm_start_input, dtype), self.n_horiz)
+        if self.n_extra:
+            U0 = jnp.concatenate([U0, jnp.zeros((self.n_extra,), dtype)])
         return MpcCarry(
             U=U0,
             lam=jnp.zeros((self.problem.m,), dtype),
@@ -95,14 +105,10 @@ class MpcController:
         the first input of the optimal sequence (main.py:140-141), and stats.
         """
         U0, lam0, sigma0 = carry.U, carry.lam, carry.sigma
-        if self.shift_warm_start:
-            d = self.input_dim
-            U0 = jnp.concatenate([U0[d:], U0[-d:]])
-            ns = self.constraints_per_stage
-            if ns and self.problem.m:
-                # stage-major g layout: drop stage 0, repeat the last stage
-                lam0 = jnp.concatenate([lam0[ns:], lam0[-ns:]])
-                sigma0 = jnp.concatenate([sigma0[ns:], sigma0[-ns:]])
+        if self.warm_prep is not None:
+            # cold = the ALM cold-start sentinel (sigma == 0, init_carry)
+            cold = jnp.all(sigma0 <= 0)
+            U0 = self.warm_prep(U0, param, cold)
         res = self.solve(param, U0, lam0, sigma0=sigma0, gamma0=carry.gamma)
         # Failure recovery: a non-converged solve leaves sigma/gamma in
         # whatever corner it diverged into — carrying them forward compounds
@@ -280,8 +286,7 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
                              fused_block_e: int = 256,
                              unroll: Optional[int] = None,
                              obstacle_weight: float = 0.0,
-                             obstacle_field_kwargs: Optional[dict] = None,
-                             shift_warm_start: bool = False) -> MpcController:
+                             obstacle_field_kwargs: Optional[dict] = None) -> MpcController:
     """Vehicle MPC controller with the reference's solver configuration.
 
     Warm start ``U = tile([1, 0], N)`` (controller.py:20); L-BFGS memory =
@@ -302,6 +307,105 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
     solve = make_alm_solver(problem, alm_cfg, panoc_cfg)
     return MpcController(problem=problem, solve=solve, n_horiz=n_horiz,
                          input_dim=2, warm_start_input=(1.0, 0.0),
-                         sigma_0=alm_cfg.sigma_0,
-                         shift_warm_start=shift_warm_start,
-                         constraints_per_stage=6 if problem.m else 0)
+                         sigma_0=alm_cfg.sigma_0)
+
+
+def build_vehicle_ms_controller(n_horiz: int = 40, n_segments: int = 8,
+                                v_ref: float = 1.0, ts: float = 0.05,
+                                params: Optional[VehicleParams] = None,
+                                alm_cfg: Optional[AlmConfig] = None,
+                                panoc_cfg: Optional[PanocConfig] = None,
+                                bound_state_constraints: bool = False,
+                                weights=DEFAULT_VEHICLE_WEIGHTS,
+                                model: str = "pacejka",
+                                unroll: Optional[int] = None,
+                                state_bound=None,
+                                sigma_0_defect: float = 10.0):
+    """Vehicle MPC controller on the multiple-shooting OCP.
+
+    Horizon-parallel counterpart of :func:`build_vehicle_controller`
+    (SURVEY.md §5 long-context row): the N-step rollout is split into
+    ``n_segments`` segments rolled out in parallel (sequential depth
+    N/n_segments per cost evaluation instead of N), glued by defect
+    equality constraints handled by the ALM layer
+    (solver/multiple_shooting.py). The reference only single-shoots
+    (main.py:34-40).
+
+    Cold lanes seed the segment-start states by rolling out the warm-start
+    input sequence (``ms_warm_start``), so the first solve starts with zero
+    defects; warm lanes carry the full decision vector across MPC steps.
+
+    ``sigma_0_defect``: initial ALM penalty for the defect equalities —
+    deliberately gentle (measured: large Sigma_0 makes the f32 augmented
+    Lagrangian too stiff for the inner solver; see
+    tests/test_multiple_shooting.py). Stage inequalities (when
+    ``bound_state_constraints``) keep ``alm_cfg.sigma_0``.
+
+    Returns ``(MpcController, MsLayout)``.
+    """
+    from mpc_tpu.solver.multiple_shooting import (build_ms_ocp_problem,
+                                                  ms_warm_start)
+
+    if params is None:
+        params = VehicleParams()
+    if model == "pacejka":
+        state_dim = 6
+        f_d = discretize(pacejka_dynamics, ts=ts)
+    elif model == "simplified":
+        from mpc_tpu.models.bicycle import simplified_dynamics
+        state_dim = 4
+        f_d = discretize(simplified_dynamics, ts=ts)
+    else:
+        raise ValueError(f"unknown model {model!r}")
+
+    def stage_cost(x, u, param):
+        return vehicle_stage_cost(x, u, param["centerline"], v_ref, weights)
+
+    C_in = Box(
+        lower=jnp.tile(jnp.asarray([-params.max_drive, -params.max_steer],
+                                   jnp.float32), n_horiz),
+        upper=jnp.tile(jnp.asarray([params.max_drive, params.max_steer],
+                                   jnp.float32), n_horiz),
+    )
+
+    stage_constraints, n_stage, D_stage = None, 0, None
+    if bound_state_constraints and state_dim == 6:
+        offs = jnp.asarray(STATE_CONSTRAINT_OFFSETS, jnp.float32)
+
+        def stage_constraints(x, u, param):
+            return x ** 2 - offs
+
+        n_stage = 6
+        m_stage = n_stage * n_horiz
+        D_stage = Box(jnp.full((m_stage,), -jnp.inf), jnp.zeros((m_stage,)))
+
+    problem, lo = build_ms_ocp_problem(
+        f_d, stage_cost, n_horiz, n_segments, state_dim, 2, C_in,
+        stage_constraints=stage_constraints, n_stage_constraints=n_stage,
+        D_stage=D_stage, unroll=unroll, state_bound=state_bound)
+
+    if alm_cfg is None:
+        alm_cfg = AlmConfig(eps=1e-4, delta=1e-4, sigma_0=1e3,
+                            penalty_factor=5.0)
+    if panoc_cfg is None:
+        panoc_cfg = PanocConfig(lbfgs_memory=2 * n_segments + 8)
+    # per-constraint initial penalties: [stage inequalities; defects]
+    import numpy as np
+    m_stage = n_stage * n_horiz
+    sigma_0 = np.concatenate([
+        np.full(m_stage, float(alm_cfg.sigma_0), np.float32),
+        np.full(problem.m - m_stage, sigma_0_defect, np.float32),
+    ])
+    alm_cfg = dataclasses.replace(alm_cfg, sigma_0=sigma_0)
+    solve = make_alm_solver(problem, alm_cfg, panoc_cfg)
+
+    def warm_prep(z, param, cold):
+        us = z[: lo.n_inputs]
+        z_cold = ms_warm_start(f_d, lo, param["y0"], us, param["p"])
+        return jnp.where(cold, z_cold, z)
+
+    ctrl = MpcController(problem=problem, solve=solve, n_horiz=n_horiz,
+                         input_dim=2, warm_start_input=(1.0, 0.0),
+                         sigma_0=sigma_0_defect, n_extra=lo.n_states,
+                         warm_prep=warm_prep)
+    return ctrl, lo

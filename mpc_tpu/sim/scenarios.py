@@ -179,7 +179,9 @@ def run_scenario_suite_two_tier(controller: MpcController,
     for _ in range(n_sim):
         prev_carries = carries
         ys2, carries, conv = cheap_step(ys, carries, cls, obss)
-        conv_np = np.asarray(conv)
+        # np.asarray of a JAX array is a read-only view; copy before the
+        # in-place straggler update below.
+        conv_np = np.array(conv)
         bad = np.flatnonzero(~conv_np)
         if bad.size:
             # pad the straggler batch to a fixed grid of sizes so the full

@@ -179,10 +179,14 @@ def make_alm_solver(problem: Problem, alm_cfg: AlmConfig = AlmConfig(),
         else:
             sigma_in = sigma0.astype(dtype)
             warm = jnp.all(sigma_in > 0)
-        sigma_cold = jnp.full((problem.m,), alm_cfg.sigma_0, dtype)
+        # sigma_0 may be a scalar or an (m,) array — per-constraint initial
+        # penalties let one ALM mix constraint families of different scales
+        # (multiple shooting: soft stage inequalities + defect equalities).
+        sigma_cold = jnp.broadcast_to(
+            jnp.asarray(alm_cfg.sigma_0, dtype), (problem.m,))
         sigma_init = jnp.where(warm,
                                jnp.minimum(jnp.maximum(sigma_in, 1e-12),
-                                           alm_cfg.sigma_0),
+                                           sigma_cold),
                                sigma_cold)
         gamma_in = (gamma0.astype(dtype) if gamma0 is not None
                     else jnp.zeros((), dtype))

@@ -81,12 +81,13 @@ def build_ms_ocp_problem(f_d: Callable, stage_cost: Callable, n_horiz: int,
     per-stage constraints in g / D.
 
     ``state_bound`` (state_dim,), when given, boxes the intermediate segment
-    start states ``|X_k| <= state_bound`` inside C. Essential in practice:
-    unbounded X_k let the inner solver wander the rollout into regions where
-    the dynamics blow up (Pacejka forces diverge at large vx), after which
-    the augmented Lagrangian's gradients are garbage and the defect penalty
-    spiral never recovers. Any bound that safely contains the reachable set
-    works — box projection is free in PANOC.
+    start states ``|X_k| <= state_bound`` inside C — an optional belt-and-
+    braces guard keeping the iterates inside a known-good region of the
+    dynamics (box projection is free in PANOC). It is NOT required for
+    convergence: the solver's L-BFGS noise guards (solver/panoc.py
+    ``lbfgs_push`` min_step + ``tr_mult`` trust region) are what prevent the
+    iterate from being launched into Pacejka blow-up regions, and
+    tests/test_multiple_shooting.py passes without any bound.
     """
     if n_horiz % n_segments:
         raise ValueError(f"horizon {n_horiz} not divisible by {n_segments}")
@@ -137,7 +138,11 @@ def build_ms_ocp_problem(f_d: Callable, stage_cost: Callable, n_horiz: int,
     if state_bound is None:
         xb = jnp.full((lo.n_states,), jnp.inf, jnp.float32)
     else:
-        xb = jnp.tile(jnp.asarray(state_bound, jnp.float32), lo.n_segments - 1)
+        state_bound = jnp.asarray(state_bound, jnp.float32)
+        if state_bound.shape != (state_dim,):
+            raise ValueError(
+                f"state_bound shape {state_bound.shape} != ({state_dim},)")
+        xb = jnp.tile(state_bound, lo.n_segments - 1)
     C = Box(
         lower=jnp.concatenate([C_inputs.lower, -xb]),
         upper=jnp.concatenate([C_inputs.upper, xb]),
