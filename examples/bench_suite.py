@@ -1,8 +1,11 @@
 """Full benchmark suite: the five BASELINE.json configs on one chip.
 
-Writes PERF.md with solves/s, latency percentiles and convergence per config.
+Each config can run in its own process (TPU compiles are remote and slow;
+one config per process keeps the helper from OOMing and lets runs be
+serialized). Results accumulate in ``.perf_results.json`` at the repo root
+and PERF.md is regenerated from the accumulated set after every run.
 
-Run:  python examples/bench_suite.py [--quick]
+Run:  python examples/bench_suite.py [--quick] [--configs 1 2 3 4 5]
 """
 
 import os
@@ -29,6 +32,8 @@ from mpc_tpu.ops.road import straight_centerline
 from mpc_tpu.utils.timing import percentile_summary
 
 PARAMS = VehicleParams()
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS_PATH = os.path.join(REPO, ".perf_results.json")
 
 
 def bench_mpc_config(name, ctrl, f_d, cl, y0_fn, batch, n_warm=4, n_steps=10):
@@ -68,14 +73,8 @@ def bench_mpc_config(name, ctrl, f_d, cl, y0_fn, batch, n_warm=4, n_steps=10):
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true")
-    args = ap.parse_args()
+def run_config_1(args):
     B = 256 if args.quick else 1024
-    results = []
-
-    # config 1: kinematic bicycle, straight road, N=20
     ctrl1 = build_vehicle_controller(
         n_horiz=20, model="simplified", alm_cfg=AlmConfig(eps=1e-4),
         panoc_cfg=PanocConfig(lbfgs_memory=20, max_iter=200))
@@ -85,18 +84,13 @@ def main():
         return np.array([0, rng.uniform(-0.05, 0.05), 0,
                          rng.uniform(0.2, 1.0)], np.float32)
 
-    results.append(bench_mpc_config("1: kinematic straight N=20", ctrl1, f_d1,
-                                    straight_centerline(100), y0_1, B))
-    print(json.dumps(results[-1]), flush=True)
+    return bench_mpc_config("1: kinematic straight N=20", ctrl1, f_d1,
+                            straight_centerline(100), y0_1, B)
 
-    # config 2: Pacejka on Bezier road, N=40, bounded state constraints
+
+def _config2_setup():
     pts = lane_change_control_points(5.0).control_points * 0.01
     cl2 = bezier_centerline(pts, size=100)
-    ctrl2 = build_vehicle_controller(
-        n_horiz=40, bound_state_constraints=True,
-        alm_cfg=AlmConfig(eps=1e-3, delta=1e-3, max_iter=8, eps_0=1e-2, sigma_0=1e3),
-        panoc_cfg=PanocConfig(lbfgs_memory=40, max_iter=150))
-    f_d2 = discretize(pacejka_dynamics)
     d0 = cl2[1] - cl2[0]
     hd = float(jnp.arctan2(d0[1], d0[0]))
 
@@ -105,12 +99,25 @@ def main():
                          rng.uniform(-0.02, 0.02), hd,
                          rng.uniform(0.2, 0.8), 0, 0], np.float32)
 
-    results.append(bench_mpc_config("2: dynamic Bezier N=40 + state constr",
-                                    ctrl2, f_d2, cl2, y0_2,
-                                    B // 4, n_steps=6))
-    print(json.dumps(results[-1]), flush=True)
+    return cl2, y0_2
 
-    # config 3: event-triggered over 1k initial states
+
+def run_config_2(args):
+    """Pacejka on Bezier road, N=40, bounded state constraints."""
+    B = 256 if args.quick else 1024
+    cl2, y0_2 = _config2_setup()
+    ctrl2 = build_vehicle_controller(
+        n_horiz=40, bound_state_constraints=True,
+        alm_cfg=AlmConfig(eps=1e-3, delta=1e-3, max_iter=8, eps_0=1e-2,
+                          sigma_0=1e3),
+        panoc_cfg=PanocConfig(lbfgs_memory=40, max_iter=150),
+        unroll=8)
+    f_d2 = discretize(pacejka_dynamics)
+    return bench_mpc_config("2: dynamic Bezier N=40 + state constr",
+                            ctrl2, f_d2, cl2, y0_2, B // 4, n_steps=6)
+
+
+def run_config_3(args):
     base = build_vehicle_controller(
         n_horiz=12, alm_cfg=AlmConfig(eps=1e-4),
         panoc_cfg=PanocConfig(lbfgs_memory=12, max_iter=300))
@@ -147,18 +154,17 @@ def main():
         ts.append(time.perf_counter() - t0)
         trig_frac.append(float(jnp.mean(trig.astype(jnp.float32))))
     lat = percentile_summary(ts)
-    results.append({
+    return {
         "config": "3: event-triggered 1k states",
         "batch": B3,
         "steps_per_s_x_batch": round(B3 / lat["p50"], 1),
         "p50_step_s": round(lat["p50"], 4),
         "mean_trigger_fraction": round(float(np.mean(trig_frac)), 4),
-    })
-    print(json.dumps(results[-1]), flush=True)
+    }
 
-    # config 4: game-theoretic iterated best response, batched pairs
-    from mpc_tpu.decision.game_theory import (Cars, Ego,
-                                              lane_payoffs_batched)
+
+def run_config_4(args):
+    from mpc_tpu.decision.game_theory import Cars, Ego, lane_payoffs_batched
     B4 = 4096
     rng = np.random.default_rng(1)
     egos = Ego(x=jnp.asarray(rng.uniform(-10, 10, B4), jnp.float32),
@@ -179,57 +185,97 @@ def main():
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     lat = percentile_summary(ts)
-    results.append({
+    return {
         "config": "4: game-theoretic payoffs",
         "batch": B4,
         "decisions_per_s": round(B4 / lat["p50"], 1),
         "p50_s": round(lat["p50"], 5),
-    })
-    print(json.dumps(results[-1]), flush=True)
+    }
 
-    # config 5: randomized scenario suite end-to-end
+
+def run_config_5(args):
+    """Randomized scenario suite, two-tier solving (VERDICT r2 task 4).
+
+    The single-tier batched scan pays worst-lane iteration cost on every
+    step (round-1: 118 solves/s, a 33x cliff vs the headline). Two tiers:
+    a cheap bounded-budget pass over the full batch, then a compacted
+    straggler re-solve at full budget (sim/scenarios.py).
+    """
     from mpc_tpu.io.native_scenarios import generate_scenarios
-    from mpc_tpu.sim.scenarios import run_scenario_suite, suite_summary
+    from mpc_tpu.sim.scenarios import run_scenario_suite_two_tier
     B5 = 256 if args.quick else 2048
     n_sim5 = 10
     sc = generate_scenarios(seed=0, batch=B5, size=100)
     sc = sc._replace(y0=jnp.asarray(sc.y0),
-                     centerline=jnp.asarray(sc.centerline))
-    ctrl5 = build_vehicle_controller(
+                     centerline=jnp.asarray(sc.centerline),
+                     obstacles=jnp.asarray(sc.obstacles))
+    ctrl_full = build_vehicle_controller(
         n_horiz=12, alm_cfg=AlmConfig(eps=1e-4),
         panoc_cfg=PanocConfig(lbfgs_memory=12, max_iter=150))
+    ctrl_cheap = build_vehicle_controller(
+        n_horiz=12, alm_cfg=AlmConfig(eps=1e-4),
+        panoc_cfg=PanocConfig(lbfgs_memory=12, max_iter=args.cheap_iters))
     f_d5 = discretize(pacejka_dynamics)
-    out = run_scenario_suite(ctrl5, f_d5, sc, PARAMS, n_sim5)  # compile+run
-    jax.block_until_ready(out)
+    # warm-up/compile pass (cheap batch shape + at least one straggler shape)
+    run_scenario_suite_two_tier(ctrl_full, ctrl_cheap, f_d5, sc, PARAMS, 2)
     t0 = time.perf_counter()
-    out = run_scenario_suite(ctrl5, f_d5, sc, PARAMS, n_sim5)
-    jax.block_until_ready(out)
+    _, conv = run_scenario_suite_two_tier(ctrl_full, ctrl_cheap, f_d5, sc,
+                                          PARAMS, n_sim5)
     dt = time.perf_counter() - t0
-    s = suite_summary(out, sc)
-    results.append({
-        "config": "5: randomized scenario suite",
+    return {
+        "config": "5: randomized scenario suite (two-tier)",
         "batch": B5, "n_sim": n_sim5,
+        "cheap_max_iter": args.cheap_iters,
         "wall_s": round(dt, 3),
         "solves_per_s": round(B5 * n_sim5 / dt, 1),
-        "converged_fraction": s["converged_fraction"],
-        "nan_scenarios": s["nan_scenarios"],
-    })
-    print(json.dumps(results[-1]), flush=True)
+        "converged_fraction": round(float(conv.mean()), 6),
+    }
 
-    # write PERF.md
+
+CONFIGS = {"1": run_config_1, "2": run_config_2, "3": run_config_3,
+           "4": run_config_4, "5": run_config_5}
+
+
+def write_perf_md(results):
     dev = str(jax.devices()[0])
     lines = [f"# PERF — benchmark suite ({dev})", "",
              "One chip; complete warm-started MPC solves unless noted.", ""]
-    for r in results:
+    for key in sorted(results):
+        r = results[key]
         lines.append(f"## {r['config']}")
         for k, v in r.items():
             if k != "config":
                 lines.append(f"- {k}: {v}")
         lines.append("")
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "PERF.md"), "w") as f:
+    with open(os.path.join(REPO, "PERF.md"), "w") as f:
         f.write("\n".join(lines))
     print("wrote PERF.md")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--configs", nargs="*", default=list(CONFIGS),
+                    choices=list(CONFIGS))
+    ap.add_argument("--cheap-iters", type=int, default=40,
+                    help="config 5 cheap-tier PANOC iteration cap")
+    ap.add_argument("--no-perf-md", action="store_true")
+    args = ap.parse_args()
+
+    results = {}
+    if os.path.exists(RESULTS_PATH):
+        with open(RESULTS_PATH) as f:
+            results = json.load(f)
+
+    for c in args.configs:
+        r = CONFIGS[c](args)
+        print(json.dumps(r), flush=True)
+        results[c] = r
+        with open(RESULTS_PATH, "w") as f:
+            json.dump(results, f, indent=1)
+
+    if not args.no_perf_md:
+        write_perf_md(results)
 
 
 if __name__ == "__main__":

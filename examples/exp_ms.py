@@ -80,7 +80,7 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--segments", type=int, default=8)
     ap.add_argument("--n-steps", type=int, default=6)
-    ap.add_argument("--variants", nargs="*", default=["ss", "ms"])
+    ap.add_argument("--variants", nargs="*", default=["ss", "ms", "ilqr"])
     args = ap.parse_args()
 
     pts = lane_change_control_points(5.0).control_points * 0.01
@@ -106,6 +106,17 @@ def main():
             panoc_cfg=PanocConfig(lbfgs_memory=N, max_iter=150),
             unroll=unroll)
         bench("ss_n40", ctrl_ss, cl, y0s, args.n_steps, f"unroll={unroll}")
+
+    if "ilqr" in args.variants:
+        from mpc_tpu.control.mpc import build_vehicle_ilqr_controller
+        from mpc_tpu.solver.ilqr import IlqrConfig
+        ctrl_il = build_vehicle_ilqr_controller(
+            n_horiz=N, bound_state_constraints=True,
+            alm_cfg=AlmConfig(delta=1e-3, max_iter=8, sigma_0=1e3,
+                              penalty_factor=5.0),
+            ilqr_cfg=IlqrConfig(max_iter=30))
+        bench("ilqr_n40", ctrl_il, cl, y0s, args.n_steps,
+              "AL-iLQR, parallel-scan Riccati backward pass")
 
     if "ms" in args.variants:
         ctrl_ms, _ = build_vehicle_ms_controller(

@@ -310,6 +310,93 @@ def build_vehicle_controller(n_horiz: int = 12, centerline_size: int = 100,
                          sigma_0=alm_cfg.sigma_0)
 
 
+def build_vehicle_ilqr_controller(n_horiz: int = 40, v_ref: float = 1.0,
+                                  ts: float = 0.05,
+                                  params: Optional[VehicleParams] = None,
+                                  bound_state_constraints: bool = False,
+                                  weights=DEFAULT_VEHICLE_WEIGHTS,
+                                  model: str = "pacejka",
+                                  alm_cfg: Optional[AlmConfig] = None,
+                                  ilqr_cfg=None,
+                                  obstacle_weight: float = 0.0,
+                                  obstacle_field_kwargs: Optional[dict] = None,
+                                  ) -> MpcController:
+    """Vehicle MPC controller backed by AL-iLQR (solver/ilqr.py).
+
+    Second solver family next to ALM+PANOC, exploiting the OCP structure
+    the reference's alpaqa solver never sees (it gets a flat NLP,
+    controller.py:27-48): per-stage derivatives in one vmap, a
+    parallel-scan Riccati backward pass (O(log N) sequential depth on the
+    horizon — SURVEY.md §5 long-context row), and a parallel line-search
+    fan forward pass. State constraints (main.py:43-52 with the D bounds
+    active) go through the same ALM outer semantics as solver/alm.py, so
+    ``MpcController`` drives either solver unchanged.
+    """
+    from mpc_tpu.solver.ilqr import IlqrConfig, make_al_ilqr_solver
+
+    if params is None:
+        params = VehicleParams()
+    if model == "pacejka":
+        state_dim = 6
+        f_d = discretize(pacejka_dynamics, ts=ts)
+    elif model == "simplified":
+        from mpc_tpu.models.bicycle import simplified_dynamics
+        state_dim = 4
+        f_d = discretize(simplified_dynamics, ts=ts)
+    else:
+        raise ValueError(f"unknown model {model!r}")
+
+    def stage_cost(x, u, param):
+        return vehicle_stage_cost(x, u, param["centerline"], v_ref, weights)
+
+    if obstacle_weight > 0.0:
+        from mpc_tpu.ops.potential_field import obstacle_stage_cost
+        obs_kw = obstacle_field_kwargs or {}
+        base_stage_cost = stage_cost
+
+        def stage_cost(x, u, param):
+            return base_stage_cost(x, u, param) + obstacle_stage_cost(
+                x, param["obstacles"], weight=obstacle_weight, **obs_kw)
+
+    C = Box(
+        lower=jnp.tile(jnp.asarray([-params.max_drive, -params.max_steer],
+                                   jnp.float32), n_horiz),
+        upper=jnp.tile(jnp.asarray([params.max_drive, params.max_steer],
+                                   jnp.float32), n_horiz),
+    )
+
+    stage_constraints, n_stage = None, 0
+    if bound_state_constraints and state_dim == 6:
+        offs = jnp.asarray(STATE_CONSTRAINT_OFFSETS, jnp.float32)
+
+        def stage_constraints(x, u, param):
+            return x ** 2 - offs
+
+        n_stage = 6
+    m = n_stage * n_horiz
+    D = Box(jnp.full((m,), -jnp.inf), jnp.zeros((m,))) if m \
+        else Box.unbounded(0)
+
+    problem = build_ocp_problem(
+        f_d, stage_cost, n_horiz, state_dim=state_dim, input_dim=2, C=C,
+        stage_constraints=stage_constraints, n_stage_constraints=n_stage,
+        D=D)
+    if obstacle_weight > 0.0:
+        problem = dataclasses.replace(problem, uses_obstacles=True)
+
+    if alm_cfg is None:
+        alm_cfg = AlmConfig()
+    if ilqr_cfg is None:
+        ilqr_cfg = IlqrConfig()
+    solve = make_al_ilqr_solver(
+        f_d, stage_cost, n_horiz, state_dim, 2, u_box=C,
+        stage_constraints=stage_constraints, n_stage_constraints=n_stage,
+        D=D, alm_cfg=alm_cfg, ilqr_cfg=ilqr_cfg)
+    return MpcController(problem=problem, solve=solve, n_horiz=n_horiz,
+                         input_dim=2, warm_start_input=(1.0, 0.0),
+                         sigma_0=alm_cfg.sigma_0)
+
+
 def build_vehicle_ms_controller(n_horiz: int = 40, n_segments: int = 8,
                                 v_ref: float = 1.0, ts: float = 0.05,
                                 params: Optional[VehicleParams] = None,
