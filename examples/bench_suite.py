@@ -103,18 +103,28 @@ def _config2_setup():
 
 
 def run_config_2(args):
-    """Pacejka on Bezier road, N=40, bounded state constraints."""
-    B = 256 if args.quick else 1024
+    """Pacejka on Bezier road, N=40, bounded state constraints.
+
+    Solved with AL-iLQR (parallel-scan Riccati backward pass) — measured
+    5.5x faster than the ALM+PANOC single-shooting path at this horizon
+    with full convergence (examples/exp_ms.py records the 3-way
+    ss/ms/ilqr comparison). Batch 256: iLQR here is sequential-depth
+    bound, larger batches lose throughput.
+    """
+    from mpc_tpu.control.mpc import build_vehicle_ilqr_controller
+    from mpc_tpu.solver.ilqr import IlqrConfig
+    B = 128 if args.quick else 256
     cl2, y0_2 = _config2_setup()
-    ctrl2 = build_vehicle_controller(
+    ctrl2 = build_vehicle_ilqr_controller(
         n_horiz=40, bound_state_constraints=True,
-        alm_cfg=AlmConfig(eps=1e-3, delta=1e-3, max_iter=8, eps_0=1e-2,
-                          sigma_0=1e3),
-        panoc_cfg=PanocConfig(lbfgs_memory=40, max_iter=150),
-        unroll=8)
+        alm_cfg=AlmConfig(delta=1e-3, max_iter=8, sigma_0=1e3,
+                          penalty_factor=5.0),
+        ilqr_cfg=IlqrConfig(max_iter=30))
     f_d2 = discretize(pacejka_dynamics)
-    return bench_mpc_config("2: dynamic Bezier N=40 + state constr",
-                            ctrl2, f_d2, cl2, y0_2, B // 4, n_steps=6)
+    out = bench_mpc_config("2: dynamic Bezier N=40 + state constr (AL-iLQR)",
+                           ctrl2, f_d2, cl2, y0_2, B, n_steps=6)
+    out["solver"] = "al-ilqr parallel-scan riccati"
+    return out
 
 
 def run_config_3(args):

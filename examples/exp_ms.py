@@ -81,6 +81,9 @@ def main():
     ap.add_argument("--segments", type=int, default=8)
     ap.add_argument("--n-steps", type=int, default=6)
     ap.add_argument("--variants", nargs="*", default=["ss", "ms", "ilqr"])
+    ap.add_argument("--ilqr-alphas", type=int, default=0,
+                    help="line-search fan size (0 -> IlqrConfig default)")
+    ap.add_argument("--ilqr-unroll", type=int, default=None)
     args = ap.parse_args()
 
     pts = lane_change_control_points(5.0).control_points * 0.01
@@ -110,13 +113,17 @@ def main():
     if "ilqr" in args.variants:
         from mpc_tpu.control.mpc import build_vehicle_ilqr_controller
         from mpc_tpu.solver.ilqr import IlqrConfig
+        alphas = tuple(0.5 ** i for i in range(args.ilqr_alphas)) \
+            if args.ilqr_alphas else IlqrConfig._field_defaults["alphas"]
         ctrl_il = build_vehicle_ilqr_controller(
             n_horiz=N, bound_state_constraints=True,
             alm_cfg=AlmConfig(delta=1e-3, max_iter=8, sigma_0=1e3,
                               penalty_factor=5.0),
-            ilqr_cfg=IlqrConfig(max_iter=30))
+            ilqr_cfg=IlqrConfig(max_iter=30, alphas=alphas,
+                                unroll=args.ilqr_unroll))
         bench("ilqr_n40", ctrl_il, cl, y0s, args.n_steps,
-              "AL-iLQR, parallel-scan Riccati backward pass")
+              f"AL-iLQR, parallel Riccati, alphas={len(alphas)}, "
+              f"unroll={args.ilqr_unroll}")
 
     if "ms" in args.variants:
         ctrl_ms, _ = build_vehicle_ms_controller(

@@ -349,10 +349,20 @@ def build_vehicle_ilqr_controller(n_horiz: int = 40, v_ref: float = 1.0,
     def stage_cost(x, u, param):
         return vehicle_stage_cost(x, u, param["centerline"], v_ref, weights)
 
+    # residual form (cost == sum(res**2)) enables the Gauss-Newton backward
+    # pass; the obstacle field term is not a sum of squares, so the full
+    # second-order path is used when it is active.
+    from mpc_tpu.ops.costs import vehicle_stage_residuals
+
+    def stage_residuals(x, u, param):
+        return vehicle_stage_residuals(x, u, param["centerline"], v_ref,
+                                       weights)
+
     if obstacle_weight > 0.0:
         from mpc_tpu.ops.potential_field import obstacle_stage_cost
         obs_kw = obstacle_field_kwargs or {}
         base_stage_cost = stage_cost
+        stage_residuals = None
 
         def stage_cost(x, u, param):
             return base_stage_cost(x, u, param) + obstacle_stage_cost(
@@ -391,7 +401,8 @@ def build_vehicle_ilqr_controller(n_horiz: int = 40, v_ref: float = 1.0,
     solve = make_al_ilqr_solver(
         f_d, stage_cost, n_horiz, state_dim, 2, u_box=C,
         stage_constraints=stage_constraints, n_stage_constraints=n_stage,
-        D=D, alm_cfg=alm_cfg, ilqr_cfg=ilqr_cfg)
+        D=D, alm_cfg=alm_cfg, ilqr_cfg=ilqr_cfg,
+        stage_residuals=stage_residuals)
     return MpcController(problem=problem, solve=solve, n_horiz=n_horiz,
                          input_dim=2, warm_start_input=(1.0, 0.0),
                          sigma_0=alm_cfg.sigma_0)

@@ -46,6 +46,37 @@ def vehicle_stage_cost(x: jnp.ndarray, u: jnp.ndarray, centerline: jnp.ndarray,
             + c[5] * u[0] ** 2)
 
 
+def vehicle_stage_residuals(x: jnp.ndarray, u: jnp.ndarray,
+                            centerline: jnp.ndarray, target_v: float,
+                            c=DEFAULT_VEHICLE_WEIGHTS,
+                            errors_fn=compute_errors_ocp) -> jnp.ndarray:
+    """Residual form of :func:`vehicle_stage_cost`:
+
+        vehicle_stage_cost(x, u, ...) == sum(vehicle_stage_residuals(...)**2)
+
+    (asserted in tests/test_ilqr.py). Gauss-Newton solvers use the residual
+    Jacobian for PSD curvature without second-order AD through the
+    centerline scan — the cost IS a weighted least-squares objective
+    (reference: car_dynamics.py:252-257), so GN is exact up to residual
+    curvature.
+    """
+    pos = x[:2]
+    err = errors_fn(pos, x[2], centerline)
+    if x.shape[0] >= 5:
+        speed = jnp.sqrt(x[3] ** 2 + x[4] ** 2)
+    else:
+        speed = jnp.abs(x[3])
+    w = [jnp.sqrt(jnp.asarray(ci, x.dtype)) for ci in c]
+    return jnp.stack([
+        w[0] * (speed - target_v),
+        w[1] * err.cte,
+        w[2] * err.pos_error,
+        w[3] * err.heading_error,
+        w[4] * u[1],
+        w[5] * u[0],
+    ])
+
+
 def chain_stage_cost(y: jnp.ndarray, u: jnp.ndarray, n_balls: int, dim: int,
                      x_end: jnp.ndarray, alpha: float = 25.0, beta: float = 1.0,
                      gamma: float = 0.01) -> jnp.ndarray:

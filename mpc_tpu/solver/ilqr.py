@@ -47,6 +47,28 @@ class IlqrConfig(NamedTuple):
     reg_up: float = 8.0
     reg_down: float = 0.5
     parallel_backward: bool = True   # associative-scan vs sequential Riccati
+    # scan unroll for the sequential nonlinear rollouts (rollout/forward):
+    # the horizon scan is N tiny sequential kernels; unrolling lets XLA fuse
+    # blocks of them (the +44% trick from the single-shooting cost path,
+    # solver/problem.py). None -> N on accelerators, 1 on CPU.
+    unroll: Optional[int] = None
+    # Gauss-Newton curvature: when the stage cost has a residual form
+    # (L = sum r_i^2, e.g. the vehicle tracking cost), use 2 J'J / 2 J'r
+    # from ONE forward-Jacobian pass instead of full second-order AD
+    # through the rollout+centerline scan. PSD by construction and much
+    # cheaper; exact at zero residual (classic GN).
+    gauss_newton: bool = True
+
+
+def _default_unroll(cfg: "IlqrConfig", n_horiz: int) -> int:
+    """Accelerators: fuse short horizons fully, block long ones (a fully
+    unrolled N=40 line-search fan OOMs the remote TPU compile helper).
+    CPU: keep the loop (unrolled graphs only bloat test compile time)."""
+    if cfg.unroll is not None:
+        return cfg.unroll
+    if jax.default_backend() == "cpu":
+        return 1
+    return n_horiz if n_horiz <= 16 else 8
 
 
 class IlqrResult(NamedTuple):
@@ -71,7 +93,8 @@ class _State(NamedTuple):
 def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
                      state_dim: int, input_dim: int,
                      u_box: Optional[Box] = None,
-                     cfg: IlqrConfig = IlqrConfig()) -> Callable:
+                     cfg: IlqrConfig = IlqrConfig(),
+                     stage_residuals: Optional[Callable] = None) -> Callable:
     """Build ``solve(us0, param, al_args=None) -> IlqrResult``.
 
     ``f_d(x, u, p) -> x_next`` is the discrete dynamics;
@@ -79,12 +102,19 @@ def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
     (the build_ocp_problem convention — the cost of stage k sees
     x_{k+1} = f_d(x_k, u_k)).
 
-    ``al_args``, when given, is ``(lam, sigma, stage_al)`` with
-    ``stage_al(x_next, u, param, lam_k, sigma_k) -> scalar`` added to every
-    stage cost — the per-stage augmented-Lagrangian hook for AL-iLQR
-    (lam/sigma rows per stage, shape (N, n_c)).
+    ``al_args``, when given, is ``(lam, sigma, stage_al[, stage_al_res])``
+    with ``stage_al(x_next, u, param, lam_k, sigma_k) -> scalar`` added to
+    every stage cost — the per-stage augmented-Lagrangian hook for AL-iLQR
+    (lam/sigma rows per stage, shape (N, n_c)) — and ``stage_al_res`` its
+    residual form (AL term == sum(res**2)).
+
+    ``stage_residuals(x_next, u, param) -> (k,)``, when given with
+    ``cfg.gauss_newton``, must satisfy ``stage_cost == sum(residuals**2)``;
+    the backward pass then uses Gauss-Newton curvature from one
+    forward-Jacobian pass (no second-order AD).
     """
     lqt = lqt_solve_parallel if cfg.parallel_backward else lqt_solve_sequential
+    unroll = _default_unroll(cfg, n_horiz)
 
     def clamp(u):
         if u_box is None:
@@ -97,14 +127,31 @@ def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
         dtype = us0.dtype
         us0 = us0.reshape(n_horiz, input_dim)
 
-        if al_args is None:
+        stage_al = stage_al_res = None
+        if al_args is not None:
+            lam, sigma, stage_al, *rest = al_args
+            stage_al_res = rest[0] if rest else None
+            lam = lam.reshape(n_horiz, -1)
+            sigma = sigma.reshape(n_horiz, -1)
+        use_gn = (cfg.gauss_newton and stage_residuals is not None
+                  and (al_args is None or stage_al_res is not None))
+
+        def fr_k(x, u, k):
+            """(x_next, residual vector r) with stage cost == sum(r**2)."""
+            xn = f_d(x, u, param["p"])
+            r = stage_residuals(xn, u, param)
+            if stage_al_res is not None:
+                r = jnp.concatenate(
+                    [r, stage_al_res(xn, u, param, lam[k], sigma[k])])
+            return xn, r
+
+        if use_gn:
+            def l_k(x, u, k):
+                return jnp.sum(fr_k(x, u, k)[1] ** 2)
+        elif al_args is None:
             def l_k(x, u, k):
                 return stage_cost(f_d(x, u, param["p"]), u, param)
         else:
-            lam, sigma, stage_al = al_args
-            lam = lam.reshape(n_horiz, -1)
-            sigma = sigma.reshape(n_horiz, -1)
-
             def l_k(x, u, k):
                 xn = f_d(x, u, param["p"])
                 return stage_cost(xn, u, param) \
@@ -116,19 +163,31 @@ def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
                 xn = f_d(x, clamp(u), param["p"])
                 return xn, (xn, l_k(x, clamp(u), k))
             _, (xs_tail, ls) = jax.lax.scan(
-                step, param["y0"], (us, jnp.arange(n_horiz)))
+                step, param["y0"], (us, jnp.arange(n_horiz)), unroll=unroll)
             xs = jnp.concatenate([param["y0"][None], xs_tail], axis=0)
             return xs, jnp.sum(ls)
 
         def derivatives(xs, us):
             """Per-stage (A, B, Q, q, R, r, P) — one vmap, no serial chain."""
-            def one(x, u, k):
-                A = jax.jacfwd(lambda x_: f_d(x_, u, param["p"]))(x)
-                B = jax.jacfwd(lambda u_: f_d(x, u_, param["p"]))(u)
-                lx, lu = jax.grad(l_k, argnums=(0, 1))(x, u, k)
-                (lxx, lxu), (lux, luu) = jax.hessian(l_k, argnums=(0, 1))(
-                    x, u, k)
-                return A, B, lxx, lx, luu, lu, lux
+            if use_gn:
+                def one(x, u, k):
+                    # ONE jacfwd pass shares the (n+m) tangents between the
+                    # dynamics Jacobians and the residual Jacobians.
+                    (A, B), (Jx, Ju) = jax.jacfwd(
+                        lambda x_, u_: fr_k(x_, u_, k), argnums=(0, 1))(x, u)
+                    r = fr_k(x, u, k)[1]
+                    return (A, B,
+                            2.0 * Jx.T @ Jx, 2.0 * Jx.T @ r,
+                            2.0 * Ju.T @ Ju, 2.0 * Ju.T @ r,
+                            2.0 * Ju.T @ Jx)
+            else:
+                def one(x, u, k):
+                    A = jax.jacfwd(lambda x_: f_d(x_, u, param["p"]))(x)
+                    B = jax.jacfwd(lambda u_: f_d(x, u_, param["p"]))(u)
+                    lx, lu = jax.grad(l_k, argnums=(0, 1))(x, u, k)
+                    (lxx, lxu), (lux, luu) = jax.hessian(l_k, argnums=(0, 1))(
+                        x, u, k)
+                    return A, B, lxx, lx, luu, lu, lux
             return jax.vmap(one)(xs[:-1], us, jnp.arange(n_horiz))
 
         def backward(xs, us, reg):
@@ -156,7 +215,7 @@ def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
                 return xn, (xn, u, l_k(x, u, k))
             _, (xs_t, us_n, ls) = jax.lax.scan(
                 step, param["y0"],
-                (xs[:-1], us, Ks, kos, jnp.arange(n_horiz)))
+                (xs[:-1], us, Ks, kos, jnp.arange(n_horiz)), unroll=unroll)
             xs_n = jnp.concatenate([param["y0"][None], xs_t], axis=0)
             return xs_n, us_n, jnp.sum(ls)
 
@@ -220,7 +279,8 @@ def make_al_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
                         stage_constraints: Optional[Callable] = None,
                         n_stage_constraints: int = 0,
                         D: Optional[Box] = None,
-                        alm_cfg=None, ilqr_cfg: IlqrConfig = IlqrConfig()):
+                        alm_cfg=None, ilqr_cfg: IlqrConfig = IlqrConfig(),
+                        stage_residuals: Optional[Callable] = None):
     """Build an AL-iLQR ``solve(param, u0, lam0, sigma0=, gamma0=) -> AlmResult``.
 
     Drop-in alternative to solver/alm.py's PANOC-based solver for OCPs with
@@ -247,7 +307,8 @@ def make_al_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
 
     if not has_general:
         inner = make_ilqr_solver(f_d, stage_cost, n_horiz, state_dim,
-                                 input_dim, u_box=u_box, cfg=ilqr_cfg)
+                                 input_dim, u_box=u_box, cfg=ilqr_cfg,
+                                 stage_residuals=stage_residuals)
 
         def solve(param, u0, lam0, tol=None, sigma0=None, gamma0=None):
             dtype = u0.dtype
@@ -276,8 +337,19 @@ def make_al_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
         zhat = jnp.clip(zeta, D_lo, D_hi)
         return 0.5 * jnp.sum(sigma_k * (zeta - zhat) ** 2)
 
+    def stage_al_res(xn, u, param, lam_k, sigma_k):
+        # residual form: stage_al == sum(res**2); clip is piecewise linear
+        # so the GN Jacobian is exact on the active/inactive pieces
+        g = stage_constraints(xn, u, param)
+        zeta = g + lam_k / sigma_k
+        zhat = jnp.clip(zeta, D_lo, D_hi)
+        return jnp.sqrt(0.5 * sigma_k) * (zeta - zhat)
+
     inner = make_ilqr_solver(f_d, stage_cost, n_horiz, state_dim, input_dim,
-                             u_box=u_box, cfg=ilqr_cfg)
+                             u_box=u_box, cfg=ilqr_cfg,
+                             stage_residuals=stage_residuals)
+
+    c_unroll = _default_unroll(ilqr_cfg, n_horiz)
 
     def constraints(us_flat, param):
         us = us_flat.reshape(n_horiz, input_dim)
@@ -286,7 +358,7 @@ def make_al_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
             xn = f_d(x, jnp.clip(u, u_box.lower[:input_dim],
                                  u_box.upper[:input_dim]), param["p"])
             return xn, stage_constraints(xn, u, param)
-        _, gs = jax.lax.scan(step, param["y0"], us)
+        _, gs = jax.lax.scan(step, param["y0"], us, unroll=c_unroll)
         return gs.reshape(-1)
 
     class _St(NamedTuple):
@@ -328,7 +400,7 @@ def make_al_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
 
         def body(st):
             res = inner(st.u, param,
-                        al_args=(st.lam, st.sigma, stage_al))
+                        al_args=(st.lam, st.sigma, stage_al, stage_al_res))
             g = constraints(res.us, param)
             zeta = g + st.lam / st.sigma
             zhat = project(zeta, D)

@@ -103,6 +103,38 @@ def test_ilqr_vmaps_over_batch():
     assert bool(out.result.converged.all())
 
 
+def test_stage_residuals_identity():
+    # Gauss-Newton contract: vehicle_stage_cost == sum(residuals**2)
+    from mpc_tpu.ops.costs import (vehicle_stage_cost,
+                                   vehicle_stage_residuals)
+    cl = straight_centerline(100)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        x = jnp.asarray(rng.normal(0, 0.5, 6).astype(np.float32))
+        u = jnp.asarray(rng.normal(0, 0.3, 2).astype(np.float32))
+        c = float(vehicle_stage_cost(x, u, cl, 1.0))
+        r = np.asarray(vehicle_stage_residuals(x, u, cl, 1.0))
+        np.testing.assert_allclose(c, float((r ** 2).sum()), rtol=1e-5)
+
+
+def test_gauss_newton_matches_full_hessian():
+    # GN and full-Hessian backward passes must reach the same optimum
+    # (same cost to solver tolerance), constrained case included.
+    from mpc_tpu.solver.ilqr import IlqrConfig
+    cl = straight_centerline(100)
+    y0 = jnp.array([0.0, 0.03, 0.05, 0.4, 0.0, 0.0], jnp.float32)
+    param = {"y0": y0, "p": PARAMS, "centerline": cl}
+    costs = []
+    for gn in (True, False):
+        ctrl = build_vehicle_ilqr_controller(
+            n_horiz=8, bound_state_constraints=True,
+            ilqr_cfg=IlqrConfig(gauss_newton=gn))
+        out = jax.jit(ctrl.step)(ctrl.init_carry(), param)
+        assert bool(out.result.converged), f"gauss_newton={gn}"
+        costs.append(float(ctrl.problem.cost(out.carry.U, param)))
+    assert abs(costs[0] - costs[1]) <= 0.02 * abs(costs[1]) + 1e-6, costs
+
+
 def test_ilqr_sequential_backward_agrees():
     # parallel_backward=True (associative-scan Riccati) and False
     # (sequential Riccati) must produce the same solution.
