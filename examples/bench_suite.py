@@ -105,11 +105,10 @@ def _config2_setup():
 def run_config_2(args):
     """Pacejka on Bezier road, N=40, bounded state constraints.
 
-    Solved with AL-iLQR (parallel-scan Riccati backward pass) — measured
-    5.5x faster than the ALM+PANOC single-shooting path at this horizon
-    with full convergence (examples/exp_ms.py records the 3-way
-    ss/ms/ilqr comparison). Batch 256: iLQR here is sequential-depth
-    bound, larger batches lose throughput.
+    Solved with AL-iLQR (parallel-scan Riccati backward pass) — the
+    fastest of the three decompositions at this horizon; the recorded
+    3-way ss/ms/ilqr comparison lives in PERF.md ("ss vs ms vs ilqr"
+    section, written by ``examples/exp_ms.py --record``).
     """
     from mpc_tpu.control.mpc import build_vehicle_ilqr_controller
     from mpc_tpu.solver.ilqr import IlqrConfig
@@ -174,6 +173,57 @@ def run_config_3(args):
 
 
 def run_config_4(args):
+    """Two-car game-theoretic MPC (BASELINE config #4 wording): the coupled
+    IBR-decision + per-car MPC closed loop of sim/two_car.py, batched over
+    scenario pairs. The raw payoff kernel is kept as a secondary line."""
+    from mpc_tpu.models.params import VehicleParams  # noqa: F401
+    from mpc_tpu.sim.two_car import LANE_OFFSET, make_two_car_game
+
+    B = 64 if args.quick else 256
+    n_sim = 10
+    ctrl = build_vehicle_controller(
+        n_horiz=12, alm_cfg=AlmConfig(eps=1e-4),
+        panoc_cfg=PanocConfig(lbfgs_memory=12, max_iter=150))
+    f_d = discretize(pacejka_dynamics)
+    run = make_two_car_game(ctrl, f_d, PARAMS, n_sim=n_sim)
+    batched = jax.jit(jax.vmap(lambda ya, yb: run(ya, yb)))
+
+    rng = np.random.default_rng(7)
+    y0a = np.zeros((B, 6), np.float32)
+    y0a[:, 1] = rng.uniform(-0.02, 0.02, B)
+    y0a[:, 3] = rng.uniform(0.5, 0.8, B)            # fast ego, lane 1
+    y0b = np.zeros((B, 6), np.float32)
+    y0b[:, 0] = rng.uniform(0.2, 0.5, B)            # ahead
+    y0b[:, 1] = LANE_OFFSET + rng.uniform(-0.02, 0.02, B)
+    y0b[:, 3] = rng.uniform(0.2, 0.4, B)            # slow, lane 2
+    y0a, y0b = jnp.asarray(y0a), jnp.asarray(y0b)
+
+    out = batched(y0a, y0b)                          # compile + warm
+    jax.block_until_ready(out.ys_a)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = batched(y0a, y0b)
+        jax.block_until_ready(out.ys_a)
+        ts.append(time.perf_counter() - t0)
+    wall = float(np.median(ts))
+    assert np.isfinite(np.asarray(out.ys_a)).all()
+    assert np.isfinite(np.asarray(out.ys_b)).all()
+
+    kernel = _payoff_kernel_bench()
+    return {
+        "config": "4: two-car game-theoretic MPC (IBR + per-car MPC loop)",
+        "batch_pairs": B, "n_sim": n_sim,
+        "pair_steps_per_s": round(B * n_sim / wall, 1),
+        "mpc_solves_per_s": round(2 * B * n_sim / wall, 1),
+        "wall_s_per_loop": round(wall, 3),
+        "mean_lane_changes_a": round(float(np.mean(np.abs(np.diff(
+            np.asarray(out.lanes_a), axis=1)) > 0)), 4),
+        "payoff_kernel_secondary": kernel,
+    }
+
+
+def _payoff_kernel_bench():
     from mpc_tpu.decision.game_theory import Cars, Ego, lane_payoffs_batched
     B4 = 4096
     rng = np.random.default_rng(1)
@@ -195,12 +245,8 @@ def run_config_4(args):
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     lat = percentile_summary(ts)
-    return {
-        "config": "4: game-theoretic payoffs",
-        "batch": B4,
-        "decisions_per_s": round(B4 / lat["p50"], 1),
-        "p50_s": round(lat["p50"], 5),
-    }
+    return (f"{round(B4 / lat['p50'], 1)} decisions/s at batch {B4} "
+            f"(p50 {round(lat['p50'], 5)} s)")
 
 
 def run_config_5(args):
@@ -246,23 +292,9 @@ CONFIGS = {"1": run_config_1, "2": run_config_2, "3": run_config_3,
            "4": run_config_4, "5": run_config_5}
 
 
-def write_perf_md(results):
-    dev = str(jax.devices()[0])
-    lines = [f"# PERF — benchmark suite ({dev})", "",
-             "One chip; complete warm-started MPC solves unless noted.", ""]
-    for key in sorted(results):
-        r = results[key]
-        lines.append(f"## {r['config']}")
-        for k, v in r.items():
-            if k != "config":
-                lines.append(f"- {k}: {v}")
-        lines.append("")
-    with open(os.path.join(REPO, "PERF.md"), "w") as f:
-        f.write("\n".join(lines))
-    print("wrote PERF.md")
-
-
 def main():
+    from mpc_tpu.utils import perfdb
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--configs", nargs="*", default=list(CONFIGS),
@@ -272,20 +304,11 @@ def main():
     ap.add_argument("--no-perf-md", action="store_true")
     args = ap.parse_args()
 
-    results = {}
-    if os.path.exists(RESULTS_PATH):
-        with open(RESULTS_PATH) as f:
-            results = json.load(f)
-
     for c in args.configs:
         r = CONFIGS[c](args)
+        r["source"] = f"examples/bench_suite.py --configs {c}"
         print(json.dumps(r), flush=True)
-        results[c] = r
-        with open(RESULTS_PATH, "w") as f:
-            json.dump(results, f, indent=1)
-
-    if not args.no_perf_md:
-        write_perf_md(results)
+        perfdb.record(c, r, write_md=not args.no_perf_md)
 
 
 if __name__ == "__main__":

@@ -67,21 +67,41 @@ def bench(backend, batch=1024, n_horiz=12, block_e=512):
         jax.block_until_ready(ys)
         ts.append(time.perf_counter() - t0)
     p50 = float(np.median(ts))
-    print(json.dumps({
+    row = {
         "exp": f"fused_{backend}", "batch": batch,
         "solves_per_s": round(batch / p50, 1),
         "p50_step_s": round(p50, 4),
         "warmup_s": round(compile_s, 1),
         "converged_fraction": round(float(jnp.mean(conv.astype(jnp.float32))), 4),
-    }), flush=True)
+    }
+    print(json.dumps(row), flush=True)
+    return row
 
 
 if __name__ == "__main__":
-    backends = sys.argv[1:] or ["plain", "xla", "pallas"]
+    argv = sys.argv[1:]
+    record = "--record" in argv
+    backends = [a for a in argv if not a.startswith("--")] \
+        or ["plain", "xla", "pallas"]
+    rows = []
     for b in backends:
         try:
-            bench(b)
+            rows.append(bench(b))
         except Exception as exc:  # keep going; report the failure
-            print(json.dumps({"exp": f"fused_{b}",
-                              "error": f"{type(exc).__name__}: {exc}"[:500]}),
-                  flush=True)
+            row = {"exp": f"fused_{b}",
+                   "error": f"{type(exc).__name__}: {exc}"[:500]}
+            print(json.dumps(row), flush=True)
+            rows.append(row)
+    if record and rows:
+        from mpc_tpu.utils import perfdb
+        rec = {"config": "8: fused-psi backends (plain vmap / fused XLA / "
+                         "fused Pallas), N=12 headline shape",
+               "source": "examples/exp_fused.py --record"}
+        for row in rows:
+            if "error" in row:
+                rec[row["exp"]] = f"FAILED: {row['error'][:160]}"
+            else:
+                rec[row["exp"]] = (f"{row['solves_per_s']} solves/s, conv "
+                                   f"{row['converged_fraction']}, p50 "
+                                   f"{row['p50_step_s']} s")
+        perfdb.record("8", rec)

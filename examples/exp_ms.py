@@ -35,6 +35,9 @@ PARAMS = VehicleParams()
 N = 40
 
 
+RESULTS = []
+
+
 def bench(name, ctrl, cl, y0s, n_steps, unroll_note=""):
     f_d = discretize(pacejka_dynamics)
     batch = y0s.shape[0]
@@ -64,7 +67,7 @@ def bench(name, ctrl, cl, y0s, n_steps, unroll_note=""):
         convs.append(float(jnp.mean(conv.astype(jnp.float32))))
         its.append(float(jnp.mean(iters)))
     p50 = float(np.median(ts))
-    print(json.dumps({
+    row = {
         "exp": name, "batch": batch, "n_horiz": N,
         "solves_per_s": round(batch / p50, 1),
         "p50_step_s": round(p50, 4),
@@ -72,7 +75,9 @@ def bench(name, ctrl, cl, y0s, n_steps, unroll_note=""):
         "converged_fraction": round(float(np.mean(convs)), 4),
         "mean_inner_iters": round(float(np.mean(its)), 1),
         "note": unroll_note,
-    }), flush=True)
+    }
+    RESULTS.append(row)
+    print(json.dumps(row), flush=True)
 
 
 def main():
@@ -84,6 +89,9 @@ def main():
     ap.add_argument("--ilqr-alphas", type=int, default=0,
                     help="line-search fan size (0 -> IlqrConfig default)")
     ap.add_argument("--ilqr-unroll", type=int, default=None)
+    ap.add_argument("--record", action="store_true",
+                    help="write the comparison into .perf_results.json/"
+                         "PERF.md (utils/perfdb)")
     args = ap.parse_args()
 
     pts = lane_change_control_points(5.0).control_points * 0.01
@@ -134,6 +142,16 @@ def main():
             unroll=None)  # segment length N/M is short; fully unrolled
         bench(f"ms_n40_m{args.segments}", ctrl_ms, cl, y0s, args.n_steps,
               f"segments={args.segments}")
+
+    if args.record and RESULTS:
+        from mpc_tpu.utils import perfdb
+        rec = {"config": "7: ss vs ms vs ilqr at N=40 (config #2 shape)",
+               "source": "examples/exp_ms.py --record"}
+        for row in RESULTS:
+            rec[row["exp"]] = (f"{row['solves_per_s']} solves/s, "
+                               f"conv {row['converged_fraction']}, "
+                               f"p50 {row['p50_step_s']} s ({row['note']})")
+        perfdb.record("7", rec)
 
 
 if __name__ == "__main__":

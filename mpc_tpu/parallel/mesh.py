@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 SCENARIO_AXIS = "scenario"
 MODEL_AXIS = "model"
+HORIZON_AXIS = "horizon"
 
 
 def make_mesh(n_scenario: Optional[int] = None, n_model: int = 1,
@@ -40,6 +41,23 @@ def make_mesh(n_scenario: Optional[int] = None, n_model: int = 1,
             f"mesh {n_scenario}x{n_model} != {n_dev} devices")
     arr = np.asarray(devices).reshape(n_scenario, n_model)
     return Mesh(arr, (SCENARIO_AXIS, MODEL_AXIS))
+
+
+def make_horizon_mesh(n_scenario: Optional[int] = None, n_horizon: int = 1,
+                      devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (scenario, horizon) mesh: data parallelism over scenarios and
+    stage parallelism over the MPC horizon (blocked associative-scan Riccati,
+    parallel/lqr_sharded.py — SURVEY.md §2.19's horizon axis)."""
+    if devices is None:
+        devices = jax.devices()
+    n_dev = len(devices)
+    if n_scenario is None:
+        n_scenario = n_dev // n_horizon
+    if n_scenario * n_horizon != n_dev:
+        raise ValueError(
+            f"mesh {n_scenario}x{n_horizon} != {n_dev} devices")
+    arr = np.asarray(devices).reshape(n_scenario, n_horizon)
+    return Mesh(arr, (SCENARIO_AXIS, HORIZON_AXIS))
 
 
 def scenario_sharding(mesh: Mesh) -> NamedSharding:

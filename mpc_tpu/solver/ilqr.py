@@ -40,12 +40,27 @@ class IlqrConfig(NamedTuple):
     max_iter: int = 40
     tol_grad: float = 1e-4        # ||l_u + B'V_x||_inf stationarity proxy
     tol_dcost: float = 1e-7       # relative cost-decrease exit
+    # Stall exit tolerance (rejected step, best candidate within tol_stall
+    # relative of the current cost). Looser than tol_dcost by design: f32
+    # line-search candidates carry ~1e-7 relative noise, so a lane at the
+    # f32 optimum sees rejections with rel just above 1e-7 — it must still
+    # be allowed to declare the stall before reg grows past reg_conv_max.
+    tol_stall: float = 2e-6
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
     reg_init: float = 1e-3
     reg_min: float = 1e-6
     reg_max: float = 1e8
     reg_up: float = 8.0
     reg_down: float = 0.5
+    # Convergence exits are only claimable while reg <= reg_conv_max: the
+    # gnorm proxy comes from the LQT solved with Rr = R + reg*I, and at
+    # large reg both ko (~1/reg) and the step sizes vanish, so a lane stuck
+    # rejecting steps would otherwise satisfy the gnorm/stalled exits at a
+    # non-stationary point and poison the MPC warm-start carry.
+    reg_conv_max: float = 1.0
+    # Per-iteration history buffers (IlqrTrace), NaN past the used prefix —
+    # same semantics as solver/panoc.py's PanocTrace.
+    trace: bool = False
     parallel_backward: bool = True   # associative-scan vs sequential Riccati
     # scan unroll for the sequential nonlinear rollouts (rollout/forward):
     # the horizon scan is N tiny sequential kernels; unrolling lets XLA fuse
@@ -60,6 +75,19 @@ class IlqrConfig(NamedTuple):
     gauss_newton: bool = True
 
 
+def _assert_stage_uniform(v, n_horiz: int, width: int, name: str) -> None:
+    """The iLQR family folds boxes/bounds per stage using stage 0's row;
+    per-stage bounds (which Box supports and solver/alm.py honors) would be
+    silently mis-applied — reject them at build time."""
+    import numpy as np
+    arr = np.asarray(v).reshape(n_horiz, width)
+    if not (np.all(arr == arr[0]) or np.all(np.isnan(arr))):
+        raise ValueError(
+            f"{name}: the iLQR solver family requires stage-uniform bounds "
+            f"(all {n_horiz} stages identical); got per-stage values. Use "
+            f"the ALM+PANOC family (solver/alm.py) for per-stage boxes.")
+
+
 def _default_unroll(cfg: "IlqrConfig", n_horiz: int) -> int:
     """Accelerators: fuse short horizons fully, block long ones (a fully
     unrolled N=40 line-search fan OOMs the remote TPU compile helper).
@@ -71,6 +99,19 @@ def _default_unroll(cfg: "IlqrConfig", n_horiz: int) -> int:
     return n_horiz if n_horiz <= 16 else 8
 
 
+class IlqrTrace(NamedTuple):
+    """Per-iteration history (``IlqrConfig.trace=True``).
+
+    Fixed-size buffers of length ``max_iter``; rows past ``iterations``
+    keep NaN (jit/vmap-safe shapes) — the iLQR-family counterpart of
+    :class:`~mpc_tpu.solver.panoc.PanocTrace`, replacing alpaqa's streaming
+    progress callback (reference: controller.py:23-24,38)."""
+    cost: jnp.ndarray       # (max_iter,) accepted cost after each iteration
+    grad_norm: jnp.ndarray  # (max_iter,) max|ko| stationarity proxy
+    reg: jnp.ndarray        # (max_iter,) regularization entering the iter
+    alpha: jnp.ndarray      # (max_iter,) chosen step size (NaN if rejected)
+
+
 class IlqrResult(NamedTuple):
     us: jnp.ndarray          # (N, m) optimal input sequence
     xs: jnp.ndarray          # (N+1, n) corresponding trajectory
@@ -78,6 +119,7 @@ class IlqrResult(NamedTuple):
     converged: jnp.ndarray
     iterations: jnp.ndarray
     grad_norm: jnp.ndarray
+    trace: Any = None        # IlqrTrace when cfg.trace
 
 
 class _State(NamedTuple):
@@ -88,6 +130,7 @@ class _State(NamedTuple):
     iters: jnp.ndarray
     converged: jnp.ndarray
     grad_norm: jnp.ndarray
+    trace: Any = None
 
 
 def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
@@ -116,6 +159,12 @@ def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
     lqt = lqt_solve_parallel if cfg.parallel_backward else lqt_solve_sequential
     unroll = _default_unroll(cfg, n_horiz)
 
+    if u_box is not None:
+        # clamp() reuses stage 0's bounds for every stage; reject per-stage
+        # boxes at build time instead of silently clamping them wrong.
+        _assert_stage_uniform(u_box.lower, n_horiz, input_dim, "u_box.lower")
+        _assert_stage_uniform(u_box.upper, n_horiz, input_dim, "u_box.upper")
+
     def clamp(u):
         if u_box is None:
             return u
@@ -123,7 +172,8 @@ def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
         hi = u_box.upper[:input_dim]
         return jnp.clip(u, lo, hi)
 
-    def solve(us0: jnp.ndarray, param: Any, al_args=None) -> IlqrResult:
+    def solve(us0: jnp.ndarray, param: Any, al_args=None,
+              skip=None) -> IlqrResult:
         dtype = us0.dtype
         us0 = us0.reshape(n_horiz, input_dim)
 
@@ -220,11 +270,23 @@ def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
             return xs_n, us_n, jnp.sum(ls)
 
         xs0, cost0 = rollout(us0)
-        st0 = _State(us=clamp(us0), xs=xs0, cost=cost0,
+        # skip (traced bool): event-triggered lanes pass tol=+inf through the
+        # AL wrapper; such lanes must exit before iteration 0 with the inputs
+        # unchanged (solver/alm.py:112-118 contract).
+        skip_ = (jnp.zeros((), bool) if skip is None
+                 else jnp.asarray(skip, bool))
+        us_init = jnp.where(skip_, us0, clamp(us0))
+        tr0 = None
+        if cfg.trace:
+            nanbuf = jnp.full((cfg.max_iter,), jnp.nan, dtype)
+            tr0 = IlqrTrace(cost=nanbuf, grad_norm=nanbuf, reg=nanbuf,
+                            alpha=nanbuf)
+        st0 = _State(us=us_init, xs=xs0, cost=cost0,
                      reg=jnp.asarray(cfg.reg_init, dtype),
                      iters=jnp.zeros((), jnp.int32),
-                     converged=jnp.zeros((), bool),
-                     grad_norm=jnp.full((), jnp.inf, dtype))
+                     converged=skip_,
+                     grad_norm=jnp.full((), jnp.inf, dtype),
+                     trace=tr0)
 
         alphas = jnp.asarray(cfg.alphas, dtype)
 
@@ -246,9 +308,14 @@ def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
             # current cost to tolerance: at a box-saturated optimum every
             # alpha re-clamps to the same inputs, so this IS convergence
             # (ko never vanishes in the unclamped deviation space there).
-            stalled = (~improved) & (rel < cfg.tol_dcost)
-            conv = (improved & (rel < cfg.tol_dcost)) \
-                | (gnorm <= cfg.tol_grad) | stalled
+            stalled = (~improved) & (rel < cfg.tol_stall)
+            # All exits gated on moderate regularization: at large reg both
+            # gnorm (~1/reg) and the steps vanish regardless of
+            # stationarity, so a rejection-stuck lane must keep iterating
+            # (or exit non-converged via reg_max) rather than claim success.
+            reg_ok = st.reg <= cfg.reg_conv_max
+            conv = ((improved & (rel < cfg.tol_dcost))
+                    | (gnorm <= cfg.tol_grad) | stalled) & reg_ok
 
             st_acc = st._replace(
                 us=us_f[best], xs=xs_f[best], cost=costs[best],
@@ -259,12 +326,22 @@ def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
             st_new = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(jnp.reshape(improved, (1,) * a.ndim),
                                        a, b), st_acc, st_rej)
+            if cfg.trace:
+                k = st.iters
+                tr = st.trace
+                st_new = st_new._replace(trace=IlqrTrace(
+                    cost=tr.cost.at[k].set(st_new.cost),
+                    grad_norm=tr.grad_norm.at[k].set(gnorm),
+                    reg=tr.reg.at[k].set(st.reg),
+                    alpha=tr.alpha.at[k].set(
+                        jnp.where(improved, alphas[best], jnp.nan))))
             return st_new._replace(iters=st.iters + 1)
 
         st = jax.lax.while_loop(cond, body, st0)
         return IlqrResult(us=st.us.reshape(-1), xs=st.xs, cost=st.cost,
                           converged=st.converged,
-                          iterations=st.iters, grad_norm=st.grad_norm)
+                          iterations=st.iters, grad_norm=st.grad_norm,
+                          trace=st.trace)
 
     return solve
 
@@ -311,23 +388,32 @@ def make_al_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
                                  stage_residuals=stage_residuals)
 
         def solve(param, u0, lam0, tol=None, sigma0=None, gamma0=None):
+            # tol > 1e30 is the lane-skip sentinel (solver/alm.py contract,
+            # used by event-triggered MPC): exit converged at zero
+            # iterations with the inputs unchanged.
             dtype = u0.dtype
-            res = inner(u0, param)
+            skip = None if tol is None else \
+                jnp.asarray(tol, dtype) > jnp.asarray(1e30, dtype)
+            res = inner(u0, param, skip=skip)
             sigma = sigma0 if sigma0 is not None else jnp.zeros((0,), dtype)
             return AlmResult(
                 u=res.us, lam=lam0, psi=res.cost, converged=res.converged,
-                outer_iterations=jnp.ones((), jnp.int32),
+                outer_iterations=(res.iterations > 0).astype(jnp.int32),
                 inner_iterations=res.iterations,
                 constraint_violation=jnp.zeros((), dtype),
                 inner_convergence_failures=(~res.converged).astype(jnp.int32),
                 sigma=sigma,
-                gamma=jnp.zeros((), dtype))
+                gamma=jnp.zeros((), dtype),
+                inner_trace=res.trace)
 
         return solve
 
     # Stage AL term: shifted quadratic penalty for g(x_next) in D, one row
     # of (lam, sigma) per stage (same formula as solver/alm.py, decomposed
-    # stage-wise so the iLQR Hessians stay per-stage).
+    # stage-wise so the iLQR Hessians stay per-stage). Stage 0's bounds are
+    # reused for every stage — per-stage D is rejected at build time.
+    _assert_stage_uniform(D.lower, n_horiz, n_stage_constraints, "D.lower")
+    _assert_stage_uniform(D.upper, n_horiz, n_stage_constraints, "D.upper")
     D_lo = D.lower.reshape(n_horiz, n_stage_constraints)[0]
     D_hi = D.upper.reshape(n_horiz, n_stage_constraints)[0]
 
@@ -349,16 +435,14 @@ def make_al_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
                              u_box=u_box, cfg=ilqr_cfg,
                              stage_residuals=stage_residuals)
 
-    c_unroll = _default_unroll(ilqr_cfg, n_horiz)
-
-    def constraints(us_flat, param):
+    def constraints_from_traj(xs, us_flat, param):
+        """g evaluated on the inner solve's accepted trajectory — no extra
+        N-deep rollout per outer iteration (the inner iLQR already returns
+        xs; stage k's constraint sees x_{k+1}, the build_ocp_problem
+        convention)."""
         us = us_flat.reshape(n_horiz, input_dim)
-
-        def step(x, u):
-            xn = f_d(x, jnp.clip(u, u_box.lower[:input_dim],
-                                 u_box.upper[:input_dim]), param["p"])
-            return xn, stage_constraints(xn, u, param)
-        _, gs = jax.lax.scan(step, param["y0"], us, unroll=c_unroll)
+        gs = jax.vmap(lambda xn, u: stage_constraints(xn, u, param))(
+            xs[1:], us)
         return gs.reshape(-1)
 
     class _St(NamedTuple):
@@ -372,12 +456,19 @@ def make_al_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
         failures: jnp.ndarray
         converged: jnp.ndarray
         violation: jnp.ndarray
+        inner_trace: Any = None   # IlqrTrace of the LAST inner solve
 
     def solve(param, u0, lam0, tol=None, sigma0=None, gamma0=None):
         dtype = u0.dtype
+        # tol > 1e30 = lane-skip sentinel (solver/alm.py:112-118 contract):
+        # the outer while_loop starts converged, so a skipped lane costs
+        # zero outer/inner iterations and keeps u/lam/sigma unchanged.
+        skip = (jnp.zeros((), bool) if tol is None
+                else jnp.asarray(tol, dtype) > jnp.asarray(1e30, dtype))
         sigma_cold = jnp.broadcast_to(
             jnp.asarray(alm_cfg.sigma_0, dtype), (m,))
         if sigma0 is None:
+            sigma_in = jnp.zeros((m,), dtype)
             sigma_init = sigma_cold
         else:
             sigma_in = sigma0.astype(dtype)
@@ -392,8 +483,11 @@ def make_al_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
                   outer=jnp.zeros((), jnp.int32),
                   inner_total=jnp.zeros((), jnp.int32),
                   failures=jnp.zeros((), jnp.int32),
-                  converged=jnp.zeros((), bool),
-                  violation=jnp.full((), jnp.inf, dtype))
+                  converged=skip,
+                  violation=jnp.full((), jnp.inf, dtype),
+                  inner_trace=(IlqrTrace(
+                      *([jnp.full((ilqr_cfg.max_iter,), jnp.nan, dtype)] * 4))
+                      if ilqr_cfg.trace else None))
 
         def cond(st):
             return (~st.converged) & (st.outer < alm_cfg.max_iter)
@@ -401,7 +495,7 @@ def make_al_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
         def body(st):
             res = inner(st.u, param,
                         al_args=(st.lam, st.sigma, stage_al, stage_al_res))
-            g = constraints(res.us, param)
+            g = constraints_from_traj(res.xs, res.us, param)
             zeta = g + st.lam / st.sigma
             zhat = project(zeta, D)
             e = g - zhat
@@ -422,18 +516,23 @@ def make_al_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
                 outer=st.outer + 1,
                 inner_total=st.inner_total + res.iterations,
                 failures=st.failures + (~res.converged).astype(jnp.int32),
-                converged=done, violation=viol)
+                converged=done, violation=viol,
+                inner_trace=res.trace if ilqr_cfg.trace else None)
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.where(jnp.reshape(st.converged,
                                                    (1,) * a.ndim), a, b),
                 st, st_new)
 
         st = jax.lax.while_loop(cond, body, st0)
+        # Skipped lanes never solved: preserve the raw incoming sigma so a
+        # cold (sigma=0) lane stays cold for its next real solve.
+        sigma_out = jnp.where(skip, sigma_in, st.sigma)
         return AlmResult(
             u=st.u, lam=st.lam, psi=st.psi, converged=st.converged,
             outer_iterations=st.outer, inner_iterations=st.inner_total,
             constraint_violation=st.violation,
             inner_convergence_failures=st.failures,
-            sigma=st.sigma, gamma=jnp.zeros((), dtype))
+            sigma=sigma_out, gamma=jnp.zeros((), dtype),
+            inner_trace=st.inner_trace)
 
     return solve

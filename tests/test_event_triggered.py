@@ -101,6 +101,52 @@ def test_etc_matches_standard_mpc_with_zero_threshold():
                                atol=2e-3)
 
 
+def test_etc_ilqr_untriggered_lanes_cost_zero_iterations():
+    # VERDICT r3 task 6: the AL-iLQR family must honor the tol=+inf lane
+    # skip sentinel so either solver family drops into ETC with the compute
+    # saving intact. Perfect model + threshold -> untriggered steps must
+    # record ZERO solver iterations and leave the stored plan unchanged.
+    from mpc_tpu.control.mpc import build_vehicle_ilqr_controller
+    from mpc_tpu.solver.ilqr import IlqrConfig
+
+    base = build_vehicle_ilqr_controller(
+        n_horiz=8, bound_state_constraints=True,
+        alm_cfg=AlmConfig(delta=1e-3, max_iter=8, sigma_0=1e3,
+                          penalty_factor=5.0),
+        ilqr_cfg=IlqrConfig(max_iter=25))
+    f_d = discretize(pacejka_dynamics)
+    etc = EventTriggeredController(base=base, f_d=f_d, threshold=1e-2,
+                                   eps=1e-4)
+    params = VehicleParams()
+    cl = straight_centerline(100)
+    y0 = jnp.array([0.0, 0.0, 0.0, 0.5, 0.0, 0.0])
+
+    @jax.jit
+    def run(y0):
+        carry = etc.init_carry()
+
+        def step(sc, _):
+            y, carry = sc
+            out = etc.step(carry, {"y0": y, "p": params, "centerline": cl})
+            y_next = f_d(y, out.u0, params)
+            return (y_next, out.carry), (out.triggered, out.carry.tot_it)
+
+        (_, carry), (trig, tot_it) = jax.lax.scan(
+            step, (y0, carry), None, length=12)
+        return trig, tot_it, carry
+
+    trig, tot_it, carry = run(y0)
+    trig = np.asarray(trig)
+    it_delta = np.diff(np.concatenate([[0], np.asarray(tot_it)]))
+    # untriggered steps spent zero solver iterations (the skip sentinel)
+    assert np.all(it_delta[~trig] == 0), it_delta
+    # triggered steps did real work
+    assert np.all(it_delta[trig] > 0), it_delta
+    # perfect model: only the expiry-driven re-solves (every n_horiz=8)
+    assert int(carry.tot_solves) <= 3
+    assert np.isfinite(np.asarray(tot_it)).all()
+
+
 def test_batched_etc_mixed_triggers():
     # a batch where lanes trigger at different times stays correct
     etc, f_d = make_etc(threshold=1e-2)

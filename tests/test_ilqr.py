@@ -135,6 +135,42 @@ def test_gauss_newton_matches_full_hessian():
     assert abs(costs[0] - costs[1]) <= 0.02 * abs(costs[1]) + 1e-6, costs
 
 
+def test_ilqr_convergence_gated_on_regularization():
+    # ADVICE r3: a lane at large reg sees gnorm ~ 1/reg and vanishing
+    # steps, so without the reg gate it could claim convergence at a
+    # non-stationary point. With an absurd tol_grad the gnorm exit would
+    # fire immediately; the gate forces reg to first decay below
+    # reg_conv_max (reg_init=100 needs >= 7 halvings to reach 1).
+    from mpc_tpu.solver.ilqr import IlqrConfig
+    cfg = IlqrConfig(reg_init=100.0, reg_conv_max=1.0, tol_grad=1e10,
+                     trace=True)
+    ctrl = build_vehicle_ilqr_controller(n_horiz=6, model="simplified",
+                                         ilqr_cfg=cfg)
+    cl = straight_centerline(100)
+    y0 = jnp.array([0.0, 0.05, 0.1, 0.4], jnp.float32)
+    out = jax.jit(ctrl.step)(ctrl.init_carry(),
+                             {"y0": y0, "p": PARAMS, "centerline": cl})
+    res = out.result
+    assert bool(res.converged)
+    k = int(res.inner_iterations)
+    assert k >= 7, k
+    reg = np.asarray(res.inner_trace.reg)
+    assert reg[k - 1] <= cfg.reg_conv_max + 1e-6, reg[:k]
+
+
+def test_ilqr_rejects_per_stage_bounds():
+    # ADVICE r3: the iLQR family folds stage 0's box into every stage;
+    # per-stage bounds must be a build-time error, not silent mis-clamping.
+    from mpc_tpu.solver.ilqr import make_ilqr_solver
+    from mpc_tpu.solver.problem import Box
+    n, m = 4, 2
+    lo = -jnp.arange(1.0, n * m + 1).reshape(-1)   # varies per stage
+    box = Box(lower=lo, upper=-lo)
+    with pytest.raises(ValueError, match="stage-uniform"):
+        make_ilqr_solver(lambda x, u, p: x, lambda x, u, p: 0.0,
+                         n_horiz=n, state_dim=4, input_dim=m, u_box=box)
+
+
 def test_ilqr_sequential_backward_agrees():
     # parallel_backward=True (associative-scan Riccati) and False
     # (sequential Riccati) must produce the same solution.

@@ -99,6 +99,64 @@ def test_trace_vmaps_over_a_batch():
         assert np.isfinite(psis[lane, : iters[lane]]).all()
 
 
+def _vehicle_param(model="simplified"):
+    from mpc_tpu.models.params import VehicleParams
+    from mpc_tpu.ops.road import straight_centerline
+    y0 = (jnp.asarray([0.0, 0.05, 0.1, 0.4], jnp.float32)
+          if model == "simplified"
+          else jnp.asarray([0.0, 0.03, 0.05, 0.4, 0.0, 0.0], jnp.float32))
+    return {"y0": y0, "p": VehicleParams(),
+            "centerline": straight_centerline(100)}
+
+
+def test_ilqr_trace_prefix_finite_nan_beyond():
+    # The iLQR family's counterpart of PanocTrace (VERDICT r3 task 8):
+    # unconstrained path — AlmResult.inner_trace is the solve's IlqrTrace.
+    from mpc_tpu.control.mpc import build_vehicle_ilqr_controller
+    from mpc_tpu.solver.ilqr import IlqrConfig
+
+    ctrl = build_vehicle_ilqr_controller(
+        n_horiz=6, model="simplified", ilqr_cfg=IlqrConfig(trace=True))
+    out = jax.jit(ctrl.step)(ctrl.init_carry(), _vehicle_param())
+    res = out.result
+    assert bool(res.converged)
+    k = int(res.inner_iterations)
+    assert 0 < k < IlqrConfig().max_iter
+    tr = jax.tree_util.tree_map(np.asarray, res.inner_trace)
+    for buf in (tr.cost, tr.grad_norm, tr.reg):
+        assert np.isfinite(buf[:k]).all()
+        assert np.isnan(buf[k:]).all()
+    # alpha is NaN on rejected iterations by design, but at least one step
+    # was accepted and nothing is written past the prefix
+    assert np.isfinite(tr.alpha[:k]).any()
+    assert np.isnan(tr.alpha[k:]).all()
+    # accepted-cost history is non-increasing
+    cost = tr.cost[:k]
+    assert np.all(np.diff(cost) <= 1e-6)
+
+
+def test_al_ilqr_trace_constrained_last_inner():
+    # general-constraint path: inner_trace carries the LAST inner solve's
+    # buffers (same convention as ALM+PANOC's inner_trace).
+    from mpc_tpu.control.mpc import build_vehicle_ilqr_controller
+    from mpc_tpu.solver.ilqr import IlqrConfig
+
+    ctrl = build_vehicle_ilqr_controller(
+        n_horiz=8, bound_state_constraints=True,
+        ilqr_cfg=IlqrConfig(trace=True))
+    out = jax.jit(ctrl.step)(ctrl.init_carry(), _vehicle_param("pacejka"))
+    res = out.result
+    assert bool(res.converged)
+    tr = jax.tree_util.tree_map(np.asarray, res.inner_trace)
+    assert tr.cost.shape == (IlqrConfig().max_iter,)
+    # the last inner solve ran at least one iteration and its rows are
+    # finite; the tail stays NaN
+    assert np.isfinite(tr.cost[0])
+    last = int(np.max(np.where(np.isfinite(tr.cost))[0]))
+    assert np.isnan(tr.cost[last + 1:]).all()
+    assert np.isfinite(tr.reg[: last + 1]).all()
+
+
 def test_progress_callback_fires_per_iterate():
     prob = _quad_problem()
     cfg = PanocConfig(lbfgs_memory=4, max_iter=50)
