@@ -105,10 +105,11 @@ def _config2_setup():
 def run_config_2(args):
     """Pacejka on Bezier road, N=40, bounded state constraints.
 
-    Solved with AL-iLQR (parallel-scan Riccati backward pass) — the
-    fastest of the three decompositions at this horizon; the recorded
-    3-way ss/ms/ilqr comparison lives in PERF.md ("ss vs ms vs ilqr"
-    section, written by ``examples/exp_ms.py --record``).
+    Solved with AL-iLQR — the fastest of the three decompositions at this
+    horizon (recorded 3-way ss/ms/ilqr comparison: PERF.md section 7,
+    written by ``examples/exp_ms.py --record``), with the sequential
+    Riccati backward pass (IlqrConfig default; the parallel scan is ~2.5x
+    slower end-to-end at this batch — PERF.md section 9-backward).
     """
     from mpc_tpu.control.mpc import build_vehicle_ilqr_controller
     from mpc_tpu.solver.ilqr import IlqrConfig
@@ -122,7 +123,7 @@ def run_config_2(args):
     f_d2 = discretize(pacejka_dynamics)
     out = bench_mpc_config("2: dynamic Bezier N=40 + state constr (AL-iLQR)",
                            ctrl2, f_d2, cl2, y0_2, B, n_steps=6)
-    out["solver"] = "al-ilqr parallel-scan riccati"
+    out["solver"] = "al-ilqr, sequential riccati backward"
     return out
 
 
@@ -255,7 +256,12 @@ def run_config_5(args):
     The single-tier batched scan pays worst-lane iteration cost on every
     step (round-1: 118 solves/s, a 33x cliff vs the headline). Two tiers:
     a cheap bounded-budget pass over the full batch, then a compacted
-    straggler re-solve at full budget (sim/scenarios.py).
+    straggler re-solve at full budget (sim/scenarios.py). The cheap budget
+    must cover the persistent hard lanes (~5% arc roads need ~60-150 PANOC
+    iters/step): at cheap_iters=40 they straggle into the full tier every
+    step and some trigger deep gamma backtracking there (10-23 s/step,
+    PERF section 10) — at 120 stragglers are ~0.2% and the suite runs
+    ~30x faster (PERF section 10-c120).
     """
     from mpc_tpu.io.native_scenarios import generate_scenarios
     from mpc_tpu.sim.scenarios import run_scenario_suite_two_tier
@@ -299,8 +305,11 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--configs", nargs="*", default=list(CONFIGS),
                     choices=list(CONFIGS))
-    ap.add_argument("--cheap-iters", type=int, default=40,
-                    help="config 5 cheap-tier PANOC iteration cap")
+    ap.add_argument("--cheap-iters", type=int, default=120,
+                    help="config 5 cheap-tier PANOC iteration cap (120: "
+                         "high enough that the persistent ~5%% arc-road "
+                         "lanes converge in tier 1 — at 40 they straggle "
+                         "into the full tier every step, PERF section 10)")
     ap.add_argument("--no-perf-md", action="store_true")
     args = ap.parse_args()
 

@@ -68,7 +68,8 @@ def bench(backend, batch=1024, n_horiz=12, block_e=512):
         ts.append(time.perf_counter() - t0)
     p50 = float(np.median(ts))
     row = {
-        "exp": f"fused_{backend}", "batch": batch,
+        "exp": f"fused_{backend}" + ("" if batch == 1024 else f"_b{batch}"),
+        "batch": batch,
         "solves_per_s": round(batch / p50, 1),
         "p50_step_s": round(p50, 4),
         "warmup_s": round(compile_s, 1),
@@ -81,12 +82,16 @@ def bench(backend, batch=1024, n_horiz=12, block_e=512):
 if __name__ == "__main__":
     argv = sys.argv[1:]
     record = "--record" in argv
+    batch = 1024
+    for a in argv:
+        if a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
     backends = [a for a in argv if not a.startswith("--")] \
         or ["plain", "xla", "pallas"]
     rows = []
     for b in backends:
         try:
-            rows.append(bench(b))
+            rows.append(bench(b, batch=batch))
         except Exception as exc:  # keep going; report the failure
             row = {"exp": f"fused_{b}",
                    "error": f"{type(exc).__name__}: {exc}"[:500]}
@@ -94,9 +99,13 @@ if __name__ == "__main__":
             rows.append(row)
     if record and rows:
         from mpc_tpu.utils import perfdb
-        rec = {"config": "8: fused-psi backends (plain vmap / fused XLA / "
-                         "fused Pallas), N=12 headline shape",
-               "source": "examples/exp_fused.py --record"}
+        # merge into any existing section so backends can run (and record)
+        # one per process — the remote compile helper has hung on a single
+        # in-process plain+xla+pallas sweep
+        rec = perfdb.load().get("8", {})
+        rec.update({"config": "8: fused-psi backends (plain vmap / fused XLA "
+                              "/ fused Pallas), N=12 headline shape",
+                    "source": "examples/exp_fused.py --record"})
         for row in rows:
             if "error" in row:
                 rec[row["exp"]] = f"FAILED: {row['error'][:160]}"

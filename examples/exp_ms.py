@@ -130,8 +130,8 @@ def main():
             ilqr_cfg=IlqrConfig(max_iter=30, alphas=alphas,
                                 unroll=args.ilqr_unroll))
         bench("ilqr_n40", ctrl_il, cl, y0s, args.n_steps,
-              f"AL-iLQR, parallel Riccati, alphas={len(alphas)}, "
-              f"unroll={args.ilqr_unroll}")
+              f"AL-iLQR, sequential Riccati (IlqrConfig default), "
+              f"alphas={len(alphas)}, unroll={args.ilqr_unroll}")
 
     if "ms" in args.variants:
         ctrl_ms, _ = build_vehicle_ms_controller(

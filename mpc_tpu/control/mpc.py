@@ -67,13 +67,14 @@ class MpcController:
     warm_start_input: tuple            # repeated per stage for the initial U
     sigma_0: float = 1e5               # initial ALM penalty for the carry
     # NOTE on warm-start shifting (the standard RTI/MPC trick of rotating
-    # the previous plan by one stage): implemented and MEASURED in round 3 —
-    # it does not reduce iterations with this solver (straight road: 378 vs
-    # 335 total PANOC iterations over 20 steps; circle: 2863 vs 2850 with
-    # more failures), because the carried sigma/gamma correspond to the
-    # unshifted point and the re-estimate costs more than the shifted guess
-    # saves. Removed rather than shipped as an unvalidated flag; the
-    # reference also reuses U verbatim (controller.py:57).
+    # the previous plan by one stage): measured and NOT shipped — on the
+    # straight road it costs ~20% more PANOC iterations, on the circle it
+    # saves ~11% but introduces convergence failures (recorded artifact:
+    # PERF.md section 11, examples/exp_shift_warm.py --record), because the
+    # carried gamma corresponds to the unshifted point and the re-estimate
+    # costs more than the shifted guess saves. A caller who wants it anyway
+    # can pass the rotation as ``warm_prep``; the reference reuses U
+    # verbatim (controller.py:57).
     #
     # Decision vectors larger than the input sequence (multiple shooting:
     # z = [U; X_1..X_{M-1}]) are supported via ``n_extra`` tail entries

@@ -49,6 +49,21 @@ from mpc_tpu.ops.road import wrap_to_pi
 # Batched (structure-of-arrays) dynamics: tuples of (E,) component vectors
 # ---------------------------------------------------------------------------
 
+def _atan2(y, x):
+    """atan2 from atan + quadrant selection.
+
+    Pallas TPU lowering has no atan2 primitive (KernelType.TC
+    NotImplementedError, measured r4); atan + where lowers fine. Used for
+    both the XLA and Pallas fused backends so they trace identical math.
+    Matches jnp.arctan2 up to f32 rounding everywhere the OCP evaluates it
+    (gradients agree away from the x=0, y=0 ray, where atan2 itself is
+    non-differentiable)."""
+    safe_x = jnp.where(x == 0.0, 1.0, x)
+    t = jnp.arctan(y / safe_x)
+    t = jnp.where(x < 0.0, t + jnp.where(y >= 0.0, jnp.pi, -jnp.pi), t)
+    return jnp.where(x == 0.0, jnp.sign(y) * (jnp.pi / 2), t)
+
+
 def _pacejka_deriv(x, d, delta, p):
     """Pacejka single-track ODE on (E,) component vectors
     (math: models/bicycle.py:pacejka_dynamics; reference dynamics.py:101-117)."""
@@ -56,8 +71,8 @@ def _pacejka_deriv(x, d, delta, p):
     lf, lr = p.axis_front, p.axis_rear
     m, iz = p.mass, p.inertia
 
-    af = -jnp.arctan2(omega * lf + vy, vx) + delta
-    ar = jnp.arctan2(omega * lr - vy, vx)
+    af = -_atan2(omega * lf + vy, vx) + delta
+    ar = _atan2(omega * lr - vy, vx)
 
     frx = (p.cm1 - p.cm2 * vx) * d - p.cr0 * jnp.sign(vx) - p.cr2 * vx * vx
     ffy = p.df * jnp.sin(p.cf * jnp.arctan(p.bf * af))
@@ -79,7 +94,7 @@ def _simplified_deriv(x, d, delta, p):
     """Kinematic bicycle ODE on (E,) components (models/bicycle.py:83-104)."""
     px, py, phi, v = x
     lf, lr = p.axis_front, p.axis_rear
-    beta = jnp.arctan2(lf * jnp.tan(delta), lf + lr)
+    beta = _atan2(lf * jnp.tan(delta), lf + lr)
     return (
         v * jnp.cos(phi + beta),
         v * jnp.sin(phi + beta),
@@ -135,7 +150,7 @@ def _stage_cost_batched(x, d, delta, cltab, v_ref, weights):
     nx, ny, pvx, pvy, nxx, nxy = (pts[:, i] for i in range(6))
 
     cte = (px - pvx) * (ny - pvy) - (py - pvy) * (nx - pvx)
-    desired = jnp.arctan2(nxy - ny, nxx - nx)
+    desired = _atan2(nxy - ny, nxx - nx)
     heading_error = wrap_to_pi(desired - phi)
     pos_error = (px - nx) * (nxy - ny) - (py - ny) * (nxx - nx)
 

@@ -121,6 +121,44 @@ def run_scenario_suite(controller: MpcController, f_d, scenarios: ScenarioBatch,
     return jax.jit(jax.vmap(one))(scenarios.y0, scenarios.centerline)
 
 
+# jitted two-tier step functions, cached across run_scenario_suite_two_tier
+# calls: a fresh ``@jax.jit`` closure per call made every warm-up useless —
+# the timed run re-traced and re-compiled both tiers from scratch (~2 min of
+# the 9-min r4 config-5 wall). Keyed by object identity; the cached closures
+# hold strong references to their key objects, so the ids stay valid.
+_TWO_TIER_CACHE: dict = {}
+
+
+def _two_tier_steppers(controller, controller_cheap, f_d, params):
+    key = (id(controller), id(controller_cheap), id(f_d), id(params))
+    if key in _TWO_TIER_CACHE:
+        return _TWO_TIER_CACHE[key]
+    use_obs = controller.problem.uses_obstacles
+
+    def _param(y, cl, obs):
+        param = {"y0": y, "p": params, "centerline": cl}
+        if use_obs:
+            param["obstacles"] = obs
+        return param
+
+    @jax.jit
+    def cheap_step(ys, carries, cls, obss):
+        def one(y, carry, cl, obs):
+            out = controller_cheap.step(carry, _param(y, cl, obs))
+            return f_d(y, out.u0, params), out.carry, out.result.converged
+        return jax.vmap(one)(ys, carries, cls, obss)
+
+    @jax.jit
+    def full_step(ys, carries, cls, obss):
+        def one(y, carry, cl, obs):
+            out = controller.step(carry, _param(y, cl, obs))
+            return f_d(y, out.u0, params), out.carry, out.result.converged
+        return jax.vmap(one)(ys, carries, cls, obss)
+
+    _TWO_TIER_CACHE[key] = (cheap_step, full_step)
+    return cheap_step, full_step
+
+
 def run_scenario_suite_two_tier(controller: MpcController,
                                 controller_cheap: MpcController, f_d,
                                 scenarios: ScenarioBatch, params, n_sim: int,
@@ -143,46 +181,36 @@ def run_scenario_suite_two_tier(controller: MpcController,
     instead of 2048, so the expensive tail no longer multiplies by the
     batch. Returns ``(state, conv)`` like the resumable suite: final plant
     states + carries, and the (B, n_sim) per-step convergence after both
-    tiers. Both controllers must share the same Problem structure.
+    tiers; ``state["stats"]`` carries per-step wall-clock for each tier and
+    straggler counts (the profile that sizes the tiers). Both controllers
+    must share the same Problem structure.
     """
+    import time
+
     import numpy as np
 
-    use_obs = controller.problem.uses_obstacles
     b = scenarios.y0.shape[0]
     carry0 = jax.vmap(lambda _: controller.init_carry())(jnp.arange(b))
-
-    def _param(y, cl, obs):
-        param = {"y0": y, "p": params, "centerline": cl}
-        if use_obs:
-            param["obstacles"] = obs
-        return param
-
-    @jax.jit
-    def cheap_step(ys, carries, cls, obss):
-        def one(y, carry, cl, obs):
-            out = controller_cheap.step(carry, _param(y, cl, obs))
-            return f_d(y, out.u0, params), out.carry, out.result.converged
-        return jax.vmap(one)(ys, carries, cls, obss)
-
-    @jax.jit
-    def full_step(ys, carries, cls, obss):
-        def one(y, carry, cl, obs):
-            out = controller.step(carry, _param(y, cl, obs))
-            return f_d(y, out.u0, params), out.carry, out.result.converged
-        return jax.vmap(one)(ys, carries, cls, obss)
+    cheap_step, full_step = _two_tier_steppers(controller, controller_cheap,
+                                               f_d, params)
 
     ys = scenarios.y0
     carries = carry0
     obss = scenarios.obstacles
     cls = scenarios.centerline
     convs = []
+    stats = {"cheap_s": [], "straggler_s": [], "n_stragglers": []}
     for _ in range(n_sim):
         prev_carries = carries
+        t0 = time.perf_counter()
         ys2, carries, conv = cheap_step(ys, carries, cls, obss)
         # np.asarray of a JAX array is a read-only view; copy before the
         # in-place straggler update below.
         conv_np = np.array(conv)
+        stats["cheap_s"].append(time.perf_counter() - t0)
         bad = np.flatnonzero(~conv_np)
+        stats["n_stragglers"].append(int(bad.size))
+        t0 = time.perf_counter()
         if bad.size:
             # pad the straggler batch to a fixed grid of sizes so the full
             # solver compiles for at most log(b/straggler_pad) shapes
@@ -202,9 +230,12 @@ def run_scenario_suite_two_tier(controller: MpcController,
             ys2 = ys2.at[genuine].set(ys_r[take])
             carries = scatter(carries, car_r)
             conv_np[bad] = np.asarray(conv_r[take])
+            jax.block_until_ready(ys2)
+        stats["straggler_s"].append(time.perf_counter() - t0)
         ys = ys2
         convs.append(conv_np)
-    return {"ys": ys, "carries": carries}, np.stack(convs, axis=1)
+    return ({"ys": ys, "carries": carries, "stats": stats},
+            np.stack(convs, axis=1))
 
 
 def run_scenario_suite_resumable(controller: MpcController, f_d,

@@ -27,6 +27,7 @@ shard over a mesh.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -61,7 +62,15 @@ class IlqrConfig(NamedTuple):
     # Per-iteration history buffers (IlqrTrace), NaN past the used prefix —
     # same semantics as solver/panoc.py's PanocTrace.
     trace: bool = False
-    parallel_backward: bool = True   # associative-scan vs sequential Riccati
+    # Backward pass: associative-scan Riccati (O(log N) sequential depth) vs
+    # the classic sequential recursion. Default sequential: at batch >= 128
+    # the solve is throughput-bound and the scan's batched 6x6 LU solves per
+    # combine level cost ~5x the sequential pass (recorded r4: PERF.md
+    # "9-phases" 62 vs 12 ms/iteration, "9-backward" 861 vs 336 solves/s
+    # end-to-end at batch 256, N=40). The parallel scan pays off when the
+    # batch is too small to fill the chip (latency-bound single-lane solves)
+    # or the horizon is mesh-sharded (parallel/lqr_sharded.py).
+    parallel_backward: bool = False
     # scan unroll for the sequential nonlinear rollouts (rollout/forward):
     # the horizon scan is N tiny sequential kernels; unrolling lets XLA fuse
     # blocks of them (the +44% trick from the single-shooting cost path,
@@ -156,8 +165,11 @@ def make_ilqr_solver(f_d: Callable, stage_cost: Callable, n_horiz: int,
     the backward pass then uses Gauss-Newton curvature from one
     forward-Jacobian pass (no second-order AD).
     """
-    lqt = lqt_solve_parallel if cfg.parallel_backward else lqt_solve_sequential
     unroll = _default_unroll(cfg, n_horiz)
+    if cfg.parallel_backward:
+        lqt = lqt_solve_parallel
+    else:
+        lqt = functools.partial(lqt_solve_sequential, unroll=unroll)
 
     if u_box is not None:
         # clamp() reuses stage 0's bounds for every stage; reject per-stage

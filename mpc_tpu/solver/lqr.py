@@ -81,11 +81,17 @@ def _value_step(S_next, v_next, A, B, c, Q, q, K):
     return S, v
 
 
-def lqt_solve_sequential(x0, A, B, c, Q, q, R, r, QN, qN, P=None):
+def lqt_solve_sequential(x0, A, B, c, Q, q, R, r, QN, qN, P=None, unroll=1):
     """Classic O(N)-depth Riccati backward pass + closed-loop forward pass.
 
     Shapes: A (N,n,n), B (N,n,m), c (N,n), Q (N,n,n), q (N,n), R (N,m,m),
     r (N,m), QN (n,n), qN (n,), optional cross term P (N,m,n).
+
+    ``unroll`` is forwarded to both scans: at batch >= 128 the whole solve
+    is throughput-bound on tiny batched matrix ops and this sequential pass
+    beats the associative scan ~5x (recorded: PERF.md "9-phases" — the
+    parallel scan's O(log N) depth only pays off when the batch is too
+    small to fill the chip); unrolling fuses blocks of the N tiny steps.
     """
     N, n = A.shape[0], A.shape[1]
     if P is None:
@@ -101,7 +107,8 @@ def lqt_solve_sequential(x0, A, B, c, Q, q, R, r, QN, qN, P=None):
         return (S, v), (S, v, K, kff)
 
     (S0, v0), (Ss, vs, Ks, kffs) = jax.lax.scan(
-        bwd, (QN, -qN), (A_t, B, c_t, Q_t, q_t, R), reverse=True)
+        bwd, (QN, -qN), (A_t, B, c_t, Q_t, q_t, R), reverse=True,
+        unroll=unroll)
     Ss = jnp.concatenate([Ss, QN[None]], axis=0)
     vs = jnp.concatenate([vs, -qN[None]], axis=0)
 
@@ -113,7 +120,7 @@ def lqt_solve_sequential(x0, A, B, c, Q, q, R, r, QN, qN, P=None):
         return x_next, (x_next, u)
 
     _, (xs_tail, us) = jax.lax.scan(
-        fwd, x0, (A, B, c, Ks, kffs, Rinv_P, Rinv_r))
+        fwd, x0, (A, B, c, Ks, kffs, Rinv_P, Rinv_r), unroll=unroll)
     xs = jnp.concatenate([x0[None], xs_tail], axis=0)
     return LqtSolution(xs=xs, us=us, Ks=Ks, kffs=kffs, Ss=Ss, vs=vs,
                        Ko=Ks + Rinv_P, ko=kffs + Rinv_r)
