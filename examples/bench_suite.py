@@ -55,12 +55,16 @@ def bench_mpc_config(name, ctrl, f_d, cl, y0_fn, batch, n_warm=4, n_steps=10):
     for _ in range(n_warm):
         state, conv = step(state)
     jax.block_until_ready(state)
-    ts = []
+    ts, conv_frac = [], []
     for _ in range(n_steps):
         t0 = time.perf_counter()
         state, conv = step(state)
         jax.block_until_ready(state)
         ts.append(time.perf_counter() - t0)
+        # per-step mean, averaged over ALL timed steps (bench.py:69-75
+        # semantics) — a final-step sample misrepresents configs whose
+        # per-step convergence varies (VERDICT r4 weak #4)
+        conv_frac.append(float(jnp.mean(conv.astype(jnp.float32))))
 
     lat = percentile_summary(ts)
     return {
@@ -69,7 +73,43 @@ def bench_mpc_config(name, ctrl, f_d, cl, y0_fn, batch, n_warm=4, n_steps=10):
         "solves_per_s": round(batch / lat["p50"], 1),
         "p50_step_s": round(lat["p50"], 4),
         "p99_step_s": round(lat["p99"], 4),
-        "converged_fraction": round(float(jnp.mean(conv.astype(jnp.float32))), 4),
+        "converged_fraction": round(float(np.mean(conv_frac)), 4),
+        # full per-step series: which steps carry the tail (cold outer
+        # restarts vs steady warm steps) is visible, not just p50/p99
+        "per_step_s": str([round(t, 3) for t in ts]),
+        "per_step_conv": str([round(c, 4) for c in conv_frac]),
+    }
+
+
+def batch1_latency(ctrl, f_d, cl, y0, n_warm=5, n_steps=40, ts_budget=0.05):
+    """Batch-1 closed-loop step latency vs the reference's Ts budget.
+
+    Mirrors bench.py:86-122's real-time check (Ts = 0.05 s,
+    reference: car_dynamics.py:93) for the non-headline configs: one
+    warm-started solve per control interval, measured as its own batch-1
+    loop (dispatch and worst-lane effects don't amortize at batch 1).
+    """
+    @jax.jit
+    def step1(y, carry):
+        out = ctrl.step(carry, {"y0": y, "p": PARAMS, "centerline": cl})
+        return f_d(y, out.u0, PARAMS), out.carry
+
+    y, c = jnp.asarray(y0), ctrl.init_carry()
+    for _ in range(n_warm):
+        y, c = step1(y, c)
+    jax.block_until_ready(y)
+    lat = []
+    for _ in range(n_steps):
+        t0 = time.perf_counter()
+        y, c = step1(y, c)
+        jax.block_until_ready(y)
+        lat.append(time.perf_counter() - t0)
+    s = percentile_summary(lat)
+    return {
+        "batch1_p50_s": round(s["p50"], 5),
+        "batch1_p99_s": round(s["p99"], 5),
+        "realtime_budget_s": ts_budget,
+        "realtime_ok": bool(s["p50"] <= ts_budget),
     }
 
 
@@ -124,6 +164,8 @@ def run_config_2(args):
     out = bench_mpc_config("2: dynamic Bezier N=40 + state constr (AL-iLQR)",
                            ctrl2, f_d2, cl2, y0_2, B, n_steps=6)
     out["solver"] = "al-ilqr, sequential riccati backward"
+    rng = np.random.default_rng(3)
+    out.update(batch1_latency(ctrl2, f_d2, cl2, y0_2(rng)))
     return out
 
 
@@ -176,9 +218,15 @@ def run_config_3(args):
 def run_config_4(args):
     """Two-car game-theoretic MPC (BASELINE config #4 wording): the coupled
     IBR-decision + per-car MPC closed loop of sim/two_car.py, batched over
-    scenario pairs. The raw payoff kernel is kept as a secondary line."""
+    scenario pairs. The raw payoff kernel is kept as a secondary line.
+
+    Fixture: the overtake geometry of tests/test_two_car.py:52-63 batched
+    up — both cars start in lane 1 with B slow and close ahead of A, so the
+    IBR layer must decide a lane change *during* the loop (the r4 fixture
+    parked B in lane 2 and recorded mean_lane_changes_a = 0.0: a frozen
+    fixed point, VERDICT r4 weak #7)."""
     from mpc_tpu.models.params import VehicleParams  # noqa: F401
-    from mpc_tpu.sim.two_car import LANE_OFFSET, make_two_car_game
+    from mpc_tpu.sim.two_car import make_two_car_game
 
     B = 64 if args.quick else 256
     n_sim = 10
@@ -187,16 +235,17 @@ def run_config_4(args):
         panoc_cfg=PanocConfig(lbfgs_memory=12, max_iter=150))
     f_d = discretize(pacejka_dynamics)
     run = make_two_car_game(ctrl, f_d, PARAMS, n_sim=n_sim)
-    batched = jax.jit(jax.vmap(lambda ya, yb: run(ya, yb)))
+    # both cars start in lane 1 (overtake setup)
+    batched = jax.jit(jax.vmap(lambda ya, yb: run(ya, yb, 1, 1)))
 
     rng = np.random.default_rng(7)
     y0a = np.zeros((B, 6), np.float32)
     y0a[:, 1] = rng.uniform(-0.02, 0.02, B)
-    y0a[:, 3] = rng.uniform(0.5, 0.8, B)            # fast ego, lane 1
+    y0a[:, 3] = rng.uniform(0.7, 1.0, B)            # fast ego, lane 1
     y0b = np.zeros((B, 6), np.float32)
-    y0b[:, 0] = rng.uniform(0.2, 0.5, B)            # ahead
-    y0b[:, 1] = LANE_OFFSET + rng.uniform(-0.02, 0.02, B)
-    y0b[:, 3] = rng.uniform(0.2, 0.4, B)            # slow, lane 2
+    y0b[:, 0] = rng.uniform(0.08, 0.25, B)          # close ahead, same lane
+    y0b[:, 1] = rng.uniform(-0.02, 0.02, B)
+    y0b[:, 3] = rng.uniform(0.08, 0.2, B)           # slow leader
     y0a, y0b = jnp.asarray(y0a), jnp.asarray(y0b)
 
     out = batched(y0a, y0b)                          # compile + warm
@@ -211,6 +260,11 @@ def run_config_4(args):
     assert np.isfinite(np.asarray(out.ys_a)).all()
     assert np.isfinite(np.asarray(out.ys_b)).all()
 
+    # lane-change accounting includes the step-1 decision (initial lane 1)
+    lanes_a = np.asarray(out.lanes_a)                # (B, n_sim)
+    lanes_full = np.concatenate(
+        [np.ones((B, 1), lanes_a.dtype), lanes_a], axis=1)
+    changes = np.abs(np.diff(lanes_full, axis=1)) > 0
     kernel = _payoff_kernel_bench()
     return {
         "config": "4: two-car game-theoretic MPC (IBR + per-car MPC loop)",
@@ -218,8 +272,8 @@ def run_config_4(args):
         "pair_steps_per_s": round(B * n_sim / wall, 1),
         "mpc_solves_per_s": round(2 * B * n_sim / wall, 1),
         "wall_s_per_loop": round(wall, 3),
-        "mean_lane_changes_a": round(float(np.mean(np.abs(np.diff(
-            np.asarray(out.lanes_a), axis=1)) > 0)), 4),
+        "mean_lane_changes_a": round(float(changes.mean()), 4),
+        "pairs_with_lane_change": round(float(changes.any(axis=1).mean()), 4),
         "payoff_kernel_secondary": kernel,
     }
 
@@ -258,10 +312,13 @@ def run_config_5(args):
     a cheap bounded-budget pass over the full batch, then a compacted
     straggler re-solve at full budget (sim/scenarios.py). The cheap budget
     must cover the persistent hard lanes (~5% arc roads need ~60-150 PANOC
-    iters/step): at cheap_iters=40 they straggle into the full tier every
-    step and some trigger deep gamma backtracking there (10-23 s/step,
-    PERF section 10) — at 120 stragglers are ~0.2% and the suite runs
-    ~30x faster (PERF section 10-c120).
+    iters/step, PERF section 10): at cheap_iters=120 stragglers are ~0.2%.
+    The r4 regression to 308-326 solves/s at batch 2048 was NOT solver
+    cost: every ~11-s straggler step was the first occurrence of a
+    straggler *count*, i.e. a remote compile of the bad.size-shaped
+    scatter ops — fixed by scattering the full repeat-padded index vector
+    (static shapes; sim/scenarios.py). Recorded: 1735 solves/s at batch
+    2048, straggler tier ~0.2 s/step (PERF section 5).
     """
     from mpc_tpu.io.native_scenarios import generate_scenarios
     from mpc_tpu.sim.scenarios import run_scenario_suite_two_tier
@@ -281,17 +338,27 @@ def run_config_5(args):
     # warm-up/compile pass (cheap batch shape + at least one straggler shape)
     run_scenario_suite_two_tier(ctrl_full, ctrl_cheap, f_d5, sc, PARAMS, 2)
     t0 = time.perf_counter()
-    _, conv = run_scenario_suite_two_tier(ctrl_full, ctrl_cheap, f_d5, sc,
-                                          PARAMS, n_sim5)
+    state, conv = run_scenario_suite_two_tier(ctrl_full, ctrl_cheap, f_d5, sc,
+                                              PARAMS, n_sim5)
     dt = time.perf_counter() - t0
-    return {
+    st = state["stats"]
+    out = {
         "config": "5: randomized scenario suite (two-tier)",
         "batch": B5, "n_sim": n_sim5,
         "cheap_max_iter": args.cheap_iters,
         "wall_s": round(dt, 3),
         "solves_per_s": round(B5 * n_sim5 / dt, 1),
         "converged_fraction": round(float(conv.mean()), 6),
+        # per-step tier anatomy (VERDICT r4 task 1): where each step's wall
+        # goes — cheap-tier solve, straggler re-solve, and the remainder
+        # (host compaction/scatter + dispatch)
+        "cheap_s_per_step": str([round(t, 2) for t in st["cheap_s"]]),
+        "straggler_s_per_step": str([round(t, 2) for t in st["straggler_s"]]),
+        "n_stragglers_per_step": str(st["n_stragglers"]),
     }
+    # batch-1 real-time line on a representative scenario (same ctrl/OCP)
+    out.update(batch1_latency(ctrl_full, f_d5, sc.centerline[0], sc.y0[0]))
+    return out
 
 
 CONFIGS = {"1": run_config_1, "2": run_config_2, "3": run_config_3,

@@ -29,7 +29,7 @@ from mpc_tpu.ops.road import straight_centerline
 PARAMS = VehicleParams()
 
 
-def bench(backend, batch=1024, n_horiz=12, block_e=512):
+def bench(backend, batch=1024, n_horiz=12, block_e=512, n_steps=15):
     fused = None if backend == "plain" else backend
     ctrl = build_vehicle_controller(
         n_horiz=n_horiz, alm_cfg=AlmConfig(eps=1e-4),
@@ -60,12 +60,13 @@ def bench(backend, batch=1024, n_horiz=12, block_e=512):
     jax.block_until_ready(ys)
     compile_s = time.perf_counter() - t_c0
 
-    ts = []
-    for _ in range(15):
+    ts, convs = [], []
+    for _ in range(n_steps):
         t0 = time.perf_counter()
         ys, carries, conv = mpc_step(ys, carries)
         jax.block_until_ready(ys)
         ts.append(time.perf_counter() - t0)
+        convs.append(float(jnp.mean(conv.astype(jnp.float32))))
     p50 = float(np.median(ts))
     row = {
         "exp": f"fused_{backend}" + ("" if batch == 1024 else f"_b{batch}"),
@@ -73,7 +74,8 @@ def bench(backend, batch=1024, n_horiz=12, block_e=512):
         "solves_per_s": round(batch / p50, 1),
         "p50_step_s": round(p50, 4),
         "warmup_s": round(compile_s, 1),
-        "converged_fraction": round(float(jnp.mean(conv.astype(jnp.float32))), 4),
+        "converged_fraction": round(float(np.mean(convs)), 4),
+        "per_step_s": [round(t, 4) for t in ts],
     }
     print(json.dumps(row), flush=True)
     return row
@@ -83,17 +85,24 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     record = "--record" in argv
     batch = 1024
+    n_steps = 15
     for a in argv:
         if a.startswith("--batch="):
             batch = int(a.split("=", 1)[1])
+        if a.startswith("--steps="):
+            n_steps = int(a.split("=", 1)[1])
     backends = [a for a in argv if not a.startswith("--")] \
         or ["plain", "xla", "pallas"]
     rows = []
     for b in backends:
         try:
-            rows.append(bench(b, batch=batch))
+            rows.append(bench(b, batch=batch, n_steps=n_steps))
         except Exception as exc:  # keep going; report the failure
-            row = {"exp": f"fused_{b}",
+            # same batch-suffixed key as the success path, so a failed
+            # non-default-batch run cannot overwrite the recorded batch-1024
+            # headline entry in section 8
+            row = {"exp": f"fused_{b}" + ("" if batch == 1024
+                                          else f"_b{batch}"),
                    "error": f"{type(exc).__name__}: {exc}"[:500]}
             print(json.dumps(row), flush=True)
             rows.append(row)

@@ -82,7 +82,10 @@ def backward(xs, us, lam, sigma, cl, reg, parallel=True):
 
 def backward_only(A, B, Q, q, R, r, P, reg, parallel=True):
     Rr = R + reg * jnp.eye(ID, dtype=A.dtype)
-    lqt = lqt_solve_parallel if parallel else lqt_solve_sequential
+    # sequential timed at the shipped configuration: unroll=8 at N=40
+    # (solver/ilqr.py _default_unroll)
+    lqt = lqt_solve_parallel if parallel \
+        else functools.partial(lqt_solve_sequential, unroll=8)
     c = jnp.zeros((N, SD), A.dtype)
     sol = lqt(jnp.zeros((SD,), A.dtype), A, B, c, Q, q, Rr, r,
               jnp.zeros((SD, SD), A.dtype), jnp.zeros((SD,), A.dtype), P=P)
@@ -106,8 +109,11 @@ def forward_fan(y0, xs, us, Ks, kos, lam, sigma, cl, unroll=8):
 def rollout(y0, us, lam, sigma, cl, unroll=8):
     def step(x, inp):
         u, lam_k, sigma_k = inp
-        xn = f_d(x, jnp.clip(u, U_LO, U_HI), PARAMS)
-        return xn, (xn, l_k(x, u, lam_k, sigma_k, cl))
+        # clamp for BOTH dynamics and cost, as the real solver does
+        # (solver/ilqr.py rollout: l_k(x, clamp(u), k))
+        uc = jnp.clip(u, U_LO, U_HI)
+        xn = f_d(x, uc, PARAMS)
+        return xn, (xn, l_k(x, uc, lam_k, sigma_k, cl))
     _, (xs_t, ls) = jax.lax.scan(step, y0, (us, lam, sigma), unroll=unroll)
     return xs_t, jnp.sum(ls)
 

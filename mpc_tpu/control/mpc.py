@@ -321,7 +321,7 @@ def build_vehicle_ilqr_controller(n_horiz: int = 40, v_ref: float = 1.0,
                                   ilqr_cfg=None,
                                   obstacle_weight: float = 0.0,
                                   obstacle_field_kwargs: Optional[dict] = None,
-                                  ) -> MpcController:
+                                  mesh=None):
     """Vehicle MPC controller backed by AL-iLQR (solver/ilqr.py).
 
     Second solver family next to ALM+PANOC, exploiting the OCP structure
@@ -332,6 +332,14 @@ def build_vehicle_ilqr_controller(n_horiz: int = 40, v_ref: float = 1.0,
     fan forward pass. State constraints (main.py:43-52 with the D bounds
     active) go through the same ALM outer semantics as solver/alm.py, so
     ``MpcController`` drives either solver unchanged.
+
+    ``mesh``: a ``(scenario, horizon)`` device mesh
+    (parallel/mesh.py:make_horizon_mesh). When given, returns the
+    *batch-native* ``BatchedMpcController`` whose Riccati backward runs
+    horizon-sharded over the mesh (parallel/ilqr_sharded.py) — the
+    cross-chip horizon axis of SURVEY.md §2.19; carries/params then take a
+    leading batch axis (divisible by the mesh's scenario axis) instead of
+    being vmapped per lane.
     """
     from mpc_tpu.solver.ilqr import IlqrConfig, make_al_ilqr_solver
 
@@ -399,6 +407,17 @@ def build_vehicle_ilqr_controller(n_horiz: int = 40, v_ref: float = 1.0,
         alm_cfg = AlmConfig()
     if ilqr_cfg is None:
         ilqr_cfg = IlqrConfig()
+    if mesh is not None:
+        from mpc_tpu.parallel.ilqr_sharded import (
+            BatchedMpcController, make_al_ilqr_solver_batched)
+        solve_b = make_al_ilqr_solver_batched(
+            f_d, stage_cost, n_horiz, state_dim, 2, u_box=C,
+            stage_constraints=stage_constraints, n_stage_constraints=n_stage,
+            D=D, alm_cfg=alm_cfg, ilqr_cfg=ilqr_cfg,
+            stage_residuals=stage_residuals, mesh=mesh)
+        return BatchedMpcController(solve=solve_b, n_horiz=n_horiz,
+                                    input_dim=2, m=m,
+                                    warm_start_input=(1.0, 0.0))
     solve = make_al_ilqr_solver(
         f_d, stage_cost, n_horiz, state_dim, 2, u_box=C,
         stage_constraints=stage_constraints, n_stage_constraints=n_stage,

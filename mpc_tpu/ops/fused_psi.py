@@ -55,9 +55,11 @@ def _atan2(y, x):
     Pallas TPU lowering has no atan2 primitive (KernelType.TC
     NotImplementedError, measured r4); atan + where lowers fine. Used for
     both the XLA and Pallas fused backends so they trace identical math.
-    Matches jnp.arctan2 up to f32 rounding everywhere the OCP evaluates it
-    (gradients agree away from the x=0, y=0 ray, where atan2 itself is
-    non-differentiable)."""
+    Matches jnp.arctan2 up to f32 rounding everywhere the OCP evaluates it.
+    Gradients differ on the whole x == 0 line: the where-select zeroes
+    d/dx there while arctan2 gives -1/y. Harmless for this OCP (slip-angle
+    atan2 args have vx > 0), but not a general drop-in for AD through
+    x == 0."""
     safe_x = jnp.where(x == 0.0, 1.0, x)
     t = jnp.arctan(y / safe_x)
     t = jnp.where(x < 0.0, t + jnp.where(y >= 0.0, jnp.pi, -jnp.pi), t)

@@ -126,12 +126,17 @@ def run_scenario_suite(controller: MpcController, f_d, scenarios: ScenarioBatch,
 # the timed run re-traced and re-compiled both tiers from scratch (~2 min of
 # the 9-min r4 config-5 wall). Keyed by object identity; the cached closures
 # hold strong references to their key objects, so the ids stay valid.
+# Bounded (LRU, newest-last dict order): the pinned controller/params
+# objects and their compiled executables would otherwise accumulate without
+# eviction in a long-lived process sweeping many controller configs.
 _TWO_TIER_CACHE: dict = {}
+_TWO_TIER_CACHE_MAX = 4
 
 
 def _two_tier_steppers(controller, controller_cheap, f_d, params):
     key = (id(controller), id(controller_cheap), id(f_d), id(params))
     if key in _TWO_TIER_CACHE:
+        _TWO_TIER_CACHE[key] = _TWO_TIER_CACHE.pop(key)   # mark recently used
         return _TWO_TIER_CACHE[key]
     use_obs = controller.problem.uses_obstacles
 
@@ -155,6 +160,8 @@ def _two_tier_steppers(controller, controller_cheap, f_d, params):
             return f_d(y, out.u0, params), out.carry, out.result.converged
         return jax.vmap(one)(ys, carries, cls, obss)
 
+    while len(_TWO_TIER_CACHE) >= _TWO_TIER_CACHE_MAX:
+        del _TWO_TIER_CACHE[next(iter(_TWO_TIER_CACHE))]  # evict oldest
     _TWO_TIER_CACHE[key] = (cheap_step, full_step)
     return cheap_step, full_step
 
@@ -222,14 +229,20 @@ def run_scenario_suite_two_tier(controller: MpcController,
             sel = lambda a: jax.tree_util.tree_map(lambda x: x[idx_j], a)
             ys_r, car_r, conv_r = full_step(
                 sel(ys), sel(prev_carries), cls[idx_j], obss[idx_j])
-            # scatter back only the genuine (non-pad) lanes
-            genuine = jnp.asarray(bad)
-            take = jnp.arange(bad.size)
+            # Scatter back ALL k padded lanes at the k-shaped index vector:
+            # repeat-pad duplicates of a lane carry identical solve results
+            # (deterministic batched program), so duplicate .at[].set
+            # writes agree. Slicing to the genuine bad.size lanes instead
+            # would create bad.size-SHAPED gather/scatter programs — a
+            # fresh ~11 s remote compile for every straggler count never
+            # seen before, which was the entire config-5 regression
+            # (measured r5: every 11-s straggler step was the first
+            # occurrence of a bad.size; repeats cost 0.2 s — PERF "10").
             scatter = lambda dst, src: jax.tree_util.tree_map(
-                lambda d, s: d.at[genuine].set(s[take]), dst, src)
-            ys2 = ys2.at[genuine].set(ys_r[take])
+                lambda d, s: d.at[idx_j].set(s), dst, src)
+            ys2 = ys2.at[idx_j].set(ys_r)
             carries = scatter(carries, car_r)
-            conv_np[bad] = np.asarray(conv_r[take])
+            conv_np[bad] = np.asarray(conv_r)[: bad.size]
             jax.block_until_ready(ys2)
         stats["straggler_s"].append(time.perf_counter() - t0)
         ys = ys2
