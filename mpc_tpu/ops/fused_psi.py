@@ -49,19 +49,51 @@ from mpc_tpu.ops.road import wrap_to_pi
 # Batched (structure-of-arrays) dynamics: tuples of (E,) component vectors
 # ---------------------------------------------------------------------------
 
+def _poly_atan(x):
+    """Polynomial arctan: odd minimax polynomial on |z| <= 1 with
+    reciprocal range reduction (atan(t) = pi/2 - atan(1/t) for t > 1).
+
+    Pallas TPU lowering implements neither ``atan2`` (measured r4) nor
+    ``atan`` (measured r5, post-_atan2 rerun: "Unimplemented primitive
+    ... KernelType.TC: atan") — only elementary arithmetic/select lower,
+    so inside kernels the inverse tangent must be polynomial. Max abs
+    error ~1e-6 rad vs jnp.arctan (gated by tests/test_fused_psi.py),
+    well under the f32 rounding of the downstream cost."""
+    t = jnp.abs(x)
+    inv = t > 1.0
+    z = jnp.where(inv, 1.0 / jnp.maximum(t, 1e-30), t)
+    z2 = z * z
+    r = jnp.asarray(-0.0117212, x.dtype)
+    for c in (0.05265332, -0.11643287, 0.19354346, -0.33262347, 0.99997726):
+        r = r * z2 + c
+    r = z * r
+    r = jnp.where(inv, jnp.pi / 2 - r, r)
+    return jnp.sign(x) * r
+
+
+#: arctan implementation hook: jnp.arctan everywhere except inside Pallas
+#: kernel traces, where it is swapped for the polynomial (see _eval_pallas).
+_ATAN = [jnp.arctan]
+
+
+def _atan(x):
+    return _ATAN[0](x)
+
+
 def _atan2(y, x):
     """atan2 from atan + quadrant selection.
 
     Pallas TPU lowering has no atan2 primitive (KernelType.TC
-    NotImplementedError, measured r4); atan + where lowers fine. Used for
-    both the XLA and Pallas fused backends so they trace identical math.
-    Matches jnp.arctan2 up to f32 rounding everywhere the OCP evaluates it.
-    Gradients differ on the whole x == 0 line: the where-select zeroes
-    d/dx there while arctan2 gives -1/y. Harmless for this OCP (slip-angle
-    atan2 args have vx > 0), but not a general drop-in for AD through
-    x == 0."""
+    NotImplementedError, measured r4); atan + where lowers fine outside
+    kernels, and inside kernels ``_atan`` resolves to the polynomial. Used
+    for both the XLA and Pallas fused backends so they trace the same
+    structure. Matches jnp.arctan2 up to f32 rounding everywhere the OCP
+    evaluates it. Gradients differ on the whole x == 0 line: the
+    where-select zeroes d/dx there while arctan2 gives -1/y. Harmless for
+    this OCP (slip-angle atan2 args have vx > 0), but not a general
+    drop-in for AD through x == 0."""
     safe_x = jnp.where(x == 0.0, 1.0, x)
-    t = jnp.arctan(y / safe_x)
+    t = _atan(y / safe_x)
     t = jnp.where(x < 0.0, t + jnp.where(y >= 0.0, jnp.pi, -jnp.pi), t)
     return jnp.where(x == 0.0, jnp.sign(y) * (jnp.pi / 2), t)
 
@@ -77,8 +109,8 @@ def _pacejka_deriv(x, d, delta, p):
     ar = _atan2(omega * lr - vy, vx)
 
     frx = (p.cm1 - p.cm2 * vx) * d - p.cr0 * jnp.sign(vx) - p.cr2 * vx * vx
-    ffy = p.df * jnp.sin(p.cf * jnp.arctan(p.bf * af))
-    fry = p.dr * jnp.sin(p.cr * jnp.arctan(p.br * ar))
+    ffy = p.df * jnp.sin(p.cf * _atan(p.bf * af))
+    fry = p.dr * jnp.sin(p.cr * _atan(p.br * ar))
 
     cos_phi, sin_phi = jnp.cos(phi), jnp.sin(phi)
     cos_d, sin_d = jnp.cos(delta), jnp.sin(delta)
@@ -185,12 +217,41 @@ def _batched_total_cost(u_flat, y0b, cltab, p, *, n_horiz, deriv, state_dim,
     stacked constraint vector in build_ocp_problem.
     """
     E = u_flat.shape[0]
-    us = jnp.moveaxis(u_flat.reshape(E, n_horiz, 2), 1, 0)  # (N, E, 2)
     x0 = tuple(y0b[:, i] for i in range(state_dim))
-
-    xs_al = None
     if al is not None:
         lam, sigma, offs, d_lo, d_up = al
+
+    # The stage loop: a plain Python loop when fully unrolled, else a scan
+    # with configurable unroll. XLA:CPU compile time grows superlinearly on
+    # the fully unrolled graph (tests → unroll=1), while on TPU full unroll
+    # fuses best (measured +44% solves/s). Inside a Pallas kernel the loop
+    # MUST be the Python form for TWO reasons: (a) reverse-mode AD through
+    # lax.scan inside a kernel produces wrong gradients (psi right, grad
+    # wrong — scan transpose and kernel tracing interact badly); (b) the
+    # scan form stacks inputs into (N, E, 2)/(N, E, sd) arrays via a 3D
+    # reshape, which Mosaic's layout inference rejects ("infer-vector-
+    # layout: unsupported shape cast", probed r5) — the unrolled form below
+    # uses only 2D column slices, which lower fine.
+    if unroll >= n_horiz:
+        x = x0
+        tot = jnp.zeros((E,), u_flat.dtype)
+        for k in range(n_horiz):
+            d, delta = u_flat[:, 2 * k], u_flat[:, 2 * k + 1]
+            x = _rk4_substeps(deriv, x, d, delta, p, h, substeps)
+            tot = tot + _stage_cost_batched(x, d, delta, cltab, v_ref,
+                                            weights)
+            if al is not None:
+                for i in range(state_dim):
+                    j = k * state_dim + i
+                    g = x[i] * x[i] - offs[i]
+                    zeta = g + lam[:, j] / sigma[:, j]
+                    zhat = jnp.clip(zeta, d_lo[j], d_up[j])
+                    tot = tot + 0.5 * sigma[:, j] * (zeta - zhat) ** 2
+        return jnp.sum(tot), tot
+
+    us = jnp.moveaxis(u_flat.reshape(E, n_horiz, 2), 1, 0)  # (N, E, 2)
+    xs_al = None
+    if al is not None:
         # stage-major (m,) = (N, state_dim) — reshape for the stage loop
         xs_al = (lam.reshape(E, n_horiz, state_dim).swapaxes(0, 1),
                  sigma.reshape(E, n_horiz, state_dim).swapaxes(0, 1),
@@ -217,21 +278,7 @@ def _batched_total_cost(u_flat, y0b, cltab, p, *, n_horiz, deriv, state_dim,
 
     init = (x0, jnp.zeros((E,), u_flat.dtype))
     xs = us if al is None else (us,) + xs_al
-    # The stage loop: a scan with configurable unroll, or a plain Python loop
-    # when fully unrolled. XLA:CPU compile time grows superlinearly on the
-    # fully unrolled graph (tests → unroll=1), while on TPU full unroll fuses
-    # best (measured +44% solves/s). Inside a Pallas kernel the loop MUST be
-    # the Python form: reverse-mode AD through lax.scan inside a kernel
-    # produces wrong gradients (psi right, grad wrong — scan transpose and
-    # kernel tracing interact badly), so kernels always run fully unrolled.
-    if unroll >= n_horiz:
-        carry = init
-        for k in range(n_horiz):
-            inp = jax.tree_util.tree_map(lambda a: a[k], xs)
-            carry, _ = stage(carry, inp)
-        x, tot = carry
-    else:
-        (x, tot), _ = jax.lax.scan(stage, init, xs, unroll=unroll)
+    (x, tot), _ = jax.lax.scan(stage, init, xs, unroll=unroll)
     return jnp.sum(tot), tot
 
 
@@ -325,19 +372,31 @@ def _eval_pallas(u_flat, y0b, cltab, p, cfg, block_e: int, al_ls=None):
     in_specs.append(pl.BlockSpec(cltab.shape, lambda i: (0, 0)))
     in_specs.append(pl.BlockSpec(pvec.shape, lambda i: (0, 0)))
 
-    psi, grad = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((block_e, 1), lambda i: (i, 0)),
-            pl.BlockSpec((block_e, n), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((E_pad, 1), u_flat.dtype),
-            jax.ShapeDtypeStruct((E_pad, n), u_flat.dtype),
-        ],
-    )(*operands)
+    # Pallas TPU has no atan/atan2 lowering (recorded r4/r5): swap the
+    # arctan hook for the polynomial while the kernel body is traced.
+    from jax.experimental.pallas import tpu as pltpu
+    _ATAN[0] = _poly_atan
+    try:
+        psi, grad = pl.pallas_call(
+            kernel,
+            grid=grid,
+            # the fully-unrolled forward+reverse sweep keeps all rollout
+            # intermediates on the VMEM stack: the 16 MB default scoped
+            # limit OOMs even at N=4 (measured r5); v5e has 128 MB VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((block_e, 1), lambda i: (i, 0)),
+                pl.BlockSpec((block_e, n), lambda i: (i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((E_pad, 1), u_flat.dtype),
+                jax.ShapeDtypeStruct((E_pad, n), u_flat.dtype),
+            ],
+        )(*operands)
+    finally:
+        _ATAN[0] = jnp.arctan
     return psi[:E, 0], grad[:E]
 
 

@@ -96,8 +96,10 @@ def test_fused_pallas_interpret_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         psi_p, grad_p = jax.vmap(pal, in_axes=(0, 0, None, None))(
             cands, y0, cl, PARAMS)
-    np.testing.assert_allclose(psi_p, psi_x, rtol=2e-5, atol=1e-6)
-    np.testing.assert_allclose(grad_p, grad_x, rtol=2e-4, atol=2e-5)
+    # kernel traces _poly_atan (no atan TPU lowering): ~1e-6 rad per call,
+    # amplified through the rollout reverse sweep -> grad rel up to ~1e-3
+    np.testing.assert_allclose(psi_p, psi_x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(grad_p, grad_x, rtol=1e-3, atol=1e-4)
 
 
 def test_fused_pallas_interpret_gradient_parity_minimal():
@@ -120,8 +122,9 @@ def test_fused_pallas_interpret_gradient_parity_minimal():
     psi_x, grad_x = xla(cands[0], y0[0], cl, p_run)
     with pltpu.force_tpu_interpret_mode():
         psi_p, grad_p = pal(cands[0], y0[0], cl, p_run)
-    np.testing.assert_allclose(psi_p, psi_x, rtol=2e-5, atol=1e-6)
-    np.testing.assert_allclose(grad_p, grad_x, rtol=2e-4, atol=2e-5)
+    # poly-atan tolerance: see test_fused_pallas_interpret_matches_xla
+    np.testing.assert_allclose(psi_p, psi_x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(grad_p, grad_x, rtol=1e-3, atol=1e-4)
 
 
 def test_fused_al_matches_per_lane():
@@ -215,3 +218,21 @@ def test_controller_with_fused_cost_matches_plain():
     assert bool(jnp.all(conv_p)) and bool(jnp.all(conv_f))
     np.testing.assert_allclose(psi_f, psi_p, rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(u_f, u_p, rtol=0, atol=5e-3)
+
+
+def test_poly_atan_accuracy():
+    # the Pallas-kernel arctan (no atan/atan2 TPU lowering exists —
+    # measured r4/r5): minimax polynomial + reciprocal range reduction
+    from mpc_tpu.ops.fused_psi import _poly_atan
+    x = np.concatenate([
+        np.linspace(-50.0, 50.0, 20001, dtype=np.float32),
+        np.linspace(-1.5, 1.5, 20001, dtype=np.float32),
+        np.array([0.0, 1.0, -1.0, 1e-8, -1e-8, 1e6, -1e6], np.float32)])
+    got = np.asarray(_poly_atan(jnp.asarray(x)))
+    ref = np.arctan(x.astype(np.float64))
+    assert np.max(np.abs(got - ref)) < 2e-6
+    # gradient sanity at representative points (AD through the polynomial)
+    g = jax.vmap(jax.grad(_poly_atan))(jnp.asarray(
+        np.array([-3.0, -0.5, 0.3, 0.9999, 1.0001, 7.0], np.float32)))
+    ref_g = 1.0 / (1.0 + np.array([-3.0, -0.5, 0.3, 0.9999, 1.0001, 7.0]) ** 2)
+    np.testing.assert_allclose(np.asarray(g), ref_g, rtol=1e-3, atol=1e-4)
