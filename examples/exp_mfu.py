@@ -36,6 +36,13 @@ import json
 import time
 
 import jax
+
+# keep axon (TPU) as the default platform for timing, but also enable the
+# CPU backend: the axon plugin returns None from Lowered.cost_analysis(),
+# so FLOP/byte counts come from a CPU lowering of the same functions
+# (client-side HLO analysis — platform-independent op counts).
+jax.config.update("jax_platforms", "axon,cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,10 +64,15 @@ def timeit(fn, *args, reps=10):
 
 
 def analyze(name, jfn, *args, reps=10):
-    """Wall time + HLO cost analysis -> achieved fractions of peak."""
-    lowered = jfn.lower(*args)
-    ca = lowered.cost_analysis()
+    """Wall time (TPU) + HLO cost analysis -> achieved fractions of peak."""
+    ca = jfn.lower(*args).cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    if ca is None:  # axon backend: analyze the CPU lowering instead
+        cpu = jax.devices("cpu")[0]
+        cpu_args = jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a), cpu), args)
+        ca = jfn.lower(*cpu_args).cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops = float(ca.get("flops", 0.0))
     byt = float(ca.get("bytes accessed", 0.0))
     wall = timeit(jfn, *args, reps=reps)
@@ -173,7 +185,10 @@ def main():
                "peaks": "197 TF bf16 / ~99 TF f32 MXU, 819 GB/s HBM "
                         "(TPU v5e public specs)",
                "note": "f32 small-matrix solver kernels: binding roofline "
-                       "is HBM/VPU, not the MXU matmul peak"}
+                       "is HBM/VPU, not the MXU matmul peak. flops/bytes "
+                       "from the CPU lowering's HLO analysis (axon returns "
+                       "none); op counts are platform-independent, bytes "
+                       "approximate TPU fusion only loosely"}
         for r in rows:
             rec[r["kernel"]] = (
                 f"{r['wall_ms']} ms, {r['achieved_tflops']} TF/s "
