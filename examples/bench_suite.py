@@ -372,11 +372,16 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--configs", nargs="*", default=list(CONFIGS),
                     choices=list(CONFIGS))
-    ap.add_argument("--cheap-iters", type=int, default=120,
-                    help="config 5 cheap-tier PANOC iteration cap (120: "
-                         "high enough that the persistent ~5%% arc-road "
-                         "lanes converge in tier 1 — at 40 they straggle "
-                         "into the full tier every step, PERF section 10)")
+    ap.add_argument("--cheap-iters", type=int, default=40,
+                    help="config 5 cheap-tier PANOC iteration cap. 40 is "
+                         "the throughput optimum now that straggler "
+                         "re-solves cost a flat ~0.2-0.3 s at any padded "
+                         "count (static-shape scatter + shape-grid "
+                         "precompile): a lean cheap tier + ~5%% stragglers "
+                         "beats paying 120 iters for every lane (PERF "
+                         "sections 5, 10, 10-c120). The r4 'raise to 120' "
+                         "verdict was an artifact of per-count scatter "
+                         "recompiles.")
     ap.add_argument("--no-perf-md", action="store_true")
     args = ap.parse_args()
 

@@ -169,7 +169,8 @@ def _two_tier_steppers(controller, controller_cheap, f_d, params):
 def run_scenario_suite_two_tier(controller: MpcController,
                                 controller_cheap: MpcController, f_d,
                                 scenarios: ScenarioBatch, params, n_sim: int,
-                                straggler_pad: int = 64):
+                                straggler_pad: int = 64,
+                                precompile_shapes: bool = True):
     """Suite rollout with two-tier solving to kill worst-lane variance.
 
     A batched ``lax.scan`` closed loop runs every lane in lockstep: each MPC
@@ -200,6 +201,30 @@ def run_scenario_suite_two_tier(controller: MpcController,
     carry0 = jax.vmap(lambda _: controller.init_carry())(jnp.arange(b))
     cheap_step, full_step = _two_tier_steppers(controller, controller_cheap,
                                                f_d, params)
+
+    if precompile_shapes:
+        # Pre-compile the WHOLE straggler code path (gathers + full-tier
+        # step + scatters) for every pad shape this suite can hit
+        # (straggler_pad * 2^j up to b): a first-seen pad shape otherwise
+        # pays its remote compiles DURING the rollout — 105 s for the
+        # full-tier program plus ~4 s of eager gather/scatter kernels at
+        # the first pad-256 straggler step at batch 2048, cheap_iters=40
+        # (measured r5, PERF "10"). Idempotent across calls: jit caches
+        # per shape.
+        k = straggler_pad
+        while True:
+            idx_j = jnp.asarray(np.arange(k) % b)
+            sel = lambda a: jax.tree_util.tree_map(lambda x: x[idx_j], a)
+            ys_r, car_r, _ = full_step(sel(scenarios.y0), sel(carry0),
+                                       scenarios.centerline[idx_j],
+                                       scenarios.obstacles[idx_j])
+            ys_sc = scenarios.y0.at[idx_j].set(ys_r)
+            car_sc = jax.tree_util.tree_map(
+                lambda d, s: d.at[idx_j].set(s), carry0, car_r)
+            jax.block_until_ready((ys_sc, car_sc))
+            if k >= b:
+                break
+            k *= 2
 
     ys = scenarios.y0
     carries = carry0
