@@ -317,8 +317,11 @@ def run_config_5(args):
     cost: every ~11-s straggler step was the first occurrence of a
     straggler *count*, i.e. a remote compile of the bad.size-shaped
     scatter ops — fixed by scattering the full repeat-padded index vector
-    (static shapes; sim/scenarios.py). Recorded: 1735 solves/s at batch
-    2048, straggler tier ~0.2 s/step (PERF section 5).
+    (static shapes) plus a pad-shape-grid precompile warmup
+    (sim/scenarios.py). With flat ~0.2-0.3 s straggler re-solves, a lean
+    cheap tier (40 iters) + ~5% stragglers beats 120 iters for every
+    lane. Recorded: 2166 solves/s at batch 2048, straggler tier
+    ~0.2 s/step (PERF section 5).
     """
     from mpc_tpu.io.native_scenarios import generate_scenarios
     from mpc_tpu.sim.scenarios import run_scenario_suite_two_tier
